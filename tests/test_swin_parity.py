@@ -1,0 +1,74 @@
+"""Numerical parity of the JAX Swin backbone against the reference on CPU with
+shared random weights (tiny configuration: 2 stages exercises shifted windows,
+patch merging, and the window==resolution degenerate stage)."""
+import numpy as np
+import pytest
+
+from on_device_image_captioning_tpu.config import SwinConfig
+from on_device_image_captioning_tpu.models import swin
+from on_device_image_captioning_tpu.params import torch_convert
+
+TINY = SwinConfig(
+    img_size=32,
+    patch_size=4,
+    in_chans=3,
+    embed_dim=16,
+    depths=(2, 2),
+    num_heads=(2, 4),
+    window_size=4,
+    drop_path_rate=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_swin(reference_path):
+    import torch
+    import torch.nn as nn
+    from models.swin_transformer_mod import SwinTransformer
+
+    torch.manual_seed(0)
+    model = SwinTransformer(
+        img_size=TINY.img_size,
+        patch_size=TINY.patch_size,
+        in_chans=TINY.in_chans,
+        embed_dim=TINY.embed_dim,
+        depths=list(TINY.depths),
+        num_heads=list(TINY.num_heads),
+        window_size=TINY.window_size,
+        mlp_ratio=TINY.mlp_ratio,
+        qkv_bias=True,
+        qk_scale=None,
+        drop_rate=0.0,
+        attn_drop_rate=0.0,
+        drop_path_rate=0.0,
+        norm_layer=nn.LayerNorm,
+        ape=False,
+        patch_norm=True,
+        use_checkpoint=False,
+        rank="cpu",
+    )
+    model.eval()
+    return model
+
+
+def test_swin_forward_matches(ref_swin):
+    import torch
+
+    sd = torch_convert.strip_prefixes(ref_swin.state_dict())
+    params = torch_convert.to_jax(torch_convert.convert_swin(sd, TINY, prefix=""))
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 3, TINY.img_size, TINY.img_size), dtype=np.float32)
+    with torch.no_grad():
+        ref = ref_swin(torch.from_numpy(imgs)).numpy()
+    # JAX path is NHWC
+    got = np.asarray(swin.swin_apply(params, TINY, imgs.transpose(0, 2, 3, 1)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_swin_large_output_shape():
+    """Swin-L/384 emits (B, 144, 1536) visual tokens (reference SURVEY §0)."""
+    cfg = SwinConfig()
+    assert cfg.num_features == 1536
+    assert cfg.stage_resolution(3) == (12, 12)
