@@ -1,0 +1,198 @@
+"""Batched beam search as a fixed-shape lax.while_loop over the incremental decoder.
+
+Semantics replicate the reference loop exactly (reference
+models/captioning_model.py:220-427):
+
+- step 1 seeds beams from the SOS logits (top-k sorted, or multinomial without
+  replacement in 'sample' mode);
+- each step proposes beam_size candidates per beam; beams whose prefix already
+  contains EOS are frozen by zeroing candidate 0 and -999'ing the rest
+  (reference :322-335) so the finished hypothesis stays comparable;
+- the beam pool is re-ranked by cumulative logprob over beam_size^2 candidates
+  (reference :337-344);
+- sequence length bookkeeping (`num_elem`) counts tokens up to and including the
+  first EOS (reference :383-395), and the loop exits early when no beam grew in
+  the previous iteration (reference :397-398);
+- final ranking divides cumulative logprob by length (reference :401).
+
+The TPU-native difference is purely mechanical: one token per step through the
+exact incremental DecState (decode/cache.py) instead of re-running the full
+decoder over the prefix, with beam reshuffles applied to the caches via gather.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CaptionerConfig, DecodeConfig
+from . import cache as dc
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, how_many_outputs, L) int32 (garbage after length)
+    logprobs: jnp.ndarray  # (B, how_many_outputs, L) f32 per-step logprobs
+    lengths: jnp.ndarray  # (B, how_many_outputs) int32 incl. SOS and EOS
+
+
+def _candidates(log_probs, k, sample, rng):
+    """Top-k candidates per row, or sample-without-replacement via Gumbel top-k
+    (exact equivalent of torch.multinomial(replacement=False) over exp(logp))."""
+    if not sample:
+        vals, idx = jax.lax.top_k(log_probs, k)
+        return vals, idx
+    g = jax.random.gumbel(rng, log_probs.shape, dtype=log_probs.dtype)
+    _, idx = jax.lax.top_k(log_probs + g, k)
+    vals = jnp.take_along_axis(log_probs, idx, axis=-1)
+    return vals, idx
+
+
+def beam_search(
+    params,
+    cfg: CaptionerConfig,
+    enc_output: jnp.ndarray,
+    decode_cfg: DecodeConfig,
+    rng: Optional[jax.Array] = None,
+    dtype=None,
+) -> BeamResult:
+    """enc_output: (B, S_enc, d_model). Jittable; all shapes static."""
+    b = enc_output.shape[0]
+    k = decode_cfg.beam_size
+    L = decode_cfg.max_seq_len
+    sample = decode_cfg.sample_or_max == "sample"
+    sos, eos = decode_cfg.sos_idx, decode_cfg.eos_idx
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    # ---- step 1: expand SOS into beam_size beams (reference :241-271) ----
+    state = dc.init_state(params, cfg, enc_output, L)
+    sos_tok = jnp.full((b,), sos, jnp.int32)
+    logp0, state = dc.dec_step(params, cfg, state, sos_tok, jnp.int32(0), dtype)
+    rng, sub = jax.random.split(rng)
+    first_vals, first_idx = _candidates(logp0, k, sample, sub)  # (B, K)
+
+    tokens = jnp.zeros((b, k, L), jnp.int32).at[:, :, 0].set(sos)
+    tokens = tokens.at[:, :, 1].set(first_idx)
+    logprobs = jnp.zeros((b, k, L), jnp.float32).at[:, :, 1].set(first_vals)
+    cumul = first_vals  # (B, K)
+    num_elem = jnp.full((b, k), 2, jnp.int32)
+    finished = jnp.zeros((b, k), jnp.bool_)
+
+    # replicate caches per beam: flattened (batch, beam) row order
+    beam_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    state = dc.gather_beams(state, beam_idx)
+
+    class Carry(NamedTuple):
+        t: jnp.ndarray
+        tokens: jnp.ndarray
+        logprobs: jnp.ndarray
+        cumul: jnp.ndarray
+        num_elem: jnp.ndarray
+        finished: jnp.ndarray
+        state: dc.DecState
+        rng: jax.Array
+
+    def cond(c: Carry):
+        # continue while some beam grew last iteration (reference :397-398)
+        return (c.t < L) & jnp.any(c.num_elem == c.t)
+
+    def body(c: Carry):
+        t = c.t
+        last = jax.lax.dynamic_index_in_dim(c.tokens, t - 1, axis=2, keepdims=False)
+        logp, state = dc.dec_step(
+            params, cfg, c.state, last.reshape(b * k), t - 1, dtype
+        )  # (B*K, V)
+        rng, sub = jax.random.split(c.rng)
+        cand_vals, cand_idx = _candidates(logp, k, sample, sub)
+        cand_vals = cand_vals.reshape(b, k, k)
+        cand_idx = cand_idx.reshape(b, k, k)
+
+        # freeze finished beams (reference :322-335)
+        frozen = c.finished[:, :, None]
+        cand_vals = jnp.concatenate(
+            [
+                jnp.where(frozen, 0.0, cand_vals[:, :, :1]),
+                jnp.where(frozen, -999.0, cand_vals[:, :, 1:]),
+            ],
+            axis=-1,
+        )
+
+        comparison = (c.cumul[:, :, None] + cand_vals).reshape(b, k * k)
+        top_vals, topi = jax.lax.top_k(comparison, k)  # sorted (reference :342)
+        which_seq = topi // k  # (B, K)
+        which_word = topi % k
+
+        def g2(x):  # gather (B, K, ...) along beam dim
+            return jnp.take_along_axis(
+                x, which_seq.reshape(b, k, *([1] * (x.ndim - 2))), axis=1
+            )
+
+        new_tokens = g2(c.tokens)
+        new_logprobs = g2(c.logprobs)
+        sel_word = jnp.take_along_axis(
+            g2(cand_idx), which_word[:, :, None], axis=2
+        )[:, :, 0]
+        sel_val = jnp.take_along_axis(
+            g2(cand_vals), which_word[:, :, None], axis=2
+        )[:, :, 0]
+        new_tokens = jax.lax.dynamic_update_index_in_dim(
+            new_tokens, sel_word, t, axis=2
+        )
+        new_logprobs = jax.lax.dynamic_update_index_in_dim(
+            new_logprobs, sel_val, t, axis=2
+        )
+
+        was_finished = jnp.take_along_axis(c.finished, which_seq, axis=1)
+        new_num_elem = jnp.take_along_axis(c.num_elem, which_seq, axis=1) + (
+            1 - was_finished.astype(jnp.int32)
+        )
+        new_finished = was_finished | (sel_word == eos)
+        new_cumul = top_vals
+
+        flat_gather = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * k + which_seq
+        ).reshape(b * k)
+        new_state = dc.gather_beams(state, flat_gather)
+
+        return Carry(
+            t + 1, new_tokens, new_logprobs, new_cumul, new_num_elem, new_finished,
+            new_state, rng,
+        )
+
+    init = Carry(
+        jnp.int32(2), tokens, logprobs, cumul, num_elem, finished, state, rng
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    # ---- final ranking: length-normalized cumulative logprob (reference :400-417)
+    norm = out.cumul / out.num_elem.astype(jnp.float32)
+    _, order = jax.lax.top_k(norm, k)  # (B, K) sorted
+    order = order[:, : decode_cfg.how_many_outputs]
+
+    def g(x):
+        return jnp.take_along_axis(
+            x, order.reshape(b, -1, *([1] * (x.ndim - 2))), axis=1
+        )
+
+    return BeamResult(
+        tokens=g(out.tokens),
+        logprobs=g(out.logprobs),
+        lengths=jnp.take_along_axis(out.num_elem, order, axis=1),
+    )
+
+
+def captions_from_result(res: BeamResult) -> Tuple[list, list]:
+    """Host-side: truncate fixed buffers to per-caption length, mirroring the
+    reference's list-of-lists return (reference models/captioning_model.py:403-427)."""
+    tokens = jax.device_get(res.tokens)
+    logprobs = jax.device_get(res.logprobs)
+    lengths = jax.device_get(res.lengths)
+    b, n, _ = tokens.shape
+    caps = [
+        [tokens[i, j, : lengths[i, j]].tolist() for j in range(n)] for i in range(b)
+    ]
+    lps = [
+        [logprobs[i, j, : lengths[i, j]].tolist() for j in range(n)] for i in range(b)
+    ]
+    return caps, lps

@@ -1,0 +1,220 @@
+"""Incremental decoder state for autoregressive decoding.
+
+The reference decodes by re-running the FULL decoder stack over the whole prefix at
+every step — O(T^2) work per step, O(T^3) per caption, with the (T, vocab) output
+projection recomputed each time (reference models/captioning_model.py:290-399).
+
+This module decodes one token per step with exact numerics. The Dynamic Expansion
+block admits an exact incremental form because all of its normalizations are
+row-local (reference models/layers.py:176-195):
+
+- forward rows (i, e) normalize z[(i,e), j<=i] over keys j <= i — computable at
+  step i from cached per-position key projections;
+- backward row i normalizes z^T[i, (j,e)] over all expansions of positions j <= i —
+  z^T[i, (j,e)] = query[(j,e)] . key[i], computable at step i from cached
+  per-position (query + cond) vectors;
+- the values the backward row consumes, vals[(j,e)] = class_fw[(j,e)] + bias[(j,e)],
+  were finalized at step j (their forward normalization only covers keys <= j) and
+  never change.
+
+Cross-attention K/V over the 144 encoder tokens are projected once per layer.
+Everything else in the decoder (cond/selector/FF/LayerNorm/reduce) is position-wise.
+
+All buffers are statically shaped (B, max_len, ...) so the step function jits once
+and runs inside lax.while_loop / lax.scan.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CaptionerConfig
+from ..models.common import layernorm, linear
+
+
+class LayerCache(NamedTuple):
+    """Per-decoder-layer incremental caches (leading dim B, position dim max_len)."""
+
+    keys: jnp.ndarray  # (B, L, d)    key_linear(x2) per position
+    ca: jnp.ndarray  # (B, L, d)    class_a_embed(x2) per position
+    cb: jnp.ndarray  # (B, L, d)    class_b_embed(x2) per position
+    queries: jnp.ndarray  # (B, L, E, d) query_exp + cond(x2) per position
+    vals_a: jnp.ndarray  # (B, L, E, d) forward result + bias (backward operand)
+    vals_b: jnp.ndarray  # (B, L, E, d)
+    k_cross: jnp.ndarray  # (B, S, d)    Wk(enc_out), projected once
+    v_cross: jnp.ndarray  # (B, S, d)    Wv(enc_out), projected once
+
+
+class DecState(NamedTuple):
+    layers: List[LayerCache]
+
+
+def init_state(
+    params, cfg: CaptionerConfig, enc_output: jnp.ndarray, max_len: int
+) -> DecState:
+    """Allocate zeroed caches and precompute cross-attention K/V per layer."""
+    b = enc_output.shape[0]
+    d, e = cfg.d_model, cfg.num_exp_dec
+    layers = []
+    for i in range(cfg.N_dec):
+        mha = params["decoders"][i]["mha"]
+        layers.append(
+            LayerCache(
+                keys=jnp.zeros((b, max_len, d), jnp.float32),
+                ca=jnp.zeros((b, max_len, d), jnp.float32),
+                cb=jnp.zeros((b, max_len, d), jnp.float32),
+                queries=jnp.zeros((b, max_len, e, d), jnp.float32),
+                vals_a=jnp.zeros((b, max_len, e, d), jnp.float32),
+                vals_b=jnp.zeros((b, max_len, e, d), jnp.float32),
+                k_cross=linear(mha["Wk"], enc_output),
+                v_cross=linear(mha["Wv"], enc_output),
+            )
+        )
+    return DecState(layers=layers)
+
+
+def _dyn_exp_step(
+    p: Dict[str, Any],
+    cfg: CaptionerConfig,
+    cache: LayerCache,
+    x2: jnp.ndarray,
+    pos: jnp.ndarray,
+    dtype=None,
+):
+    """One-position Dynamic Expansion (exact; see module docstring).
+
+    x2: (B, d) normalized input at position `pos`. Returns ((B, d), updated cache).
+    """
+    b, d = x2.shape
+    e = cfg.num_exp_dec
+    L = cache.keys.shape[1]
+
+    cond = linear(p["cond_embed"], x2, dtype)  # (B, d)
+    k_i = linear(p["key_linear"], x2, dtype)
+    ca_i = linear(p["class_a_embed"], x2, dtype)
+    cb_i = linear(p["class_b_embed"], x2, dtype)
+    q_i = p["query_exp"]["embed"][None] + cond[:, None]  # (B, E, d)
+    bias_i = p["bias_exp"]["embed"][None] + cond[:, None]
+
+    keys = cache.keys.at[:, pos].set(k_i)
+    ca = cache.ca.at[:, pos].set(ca_i)
+    cb = cache.cb.at[:, pos].set(cb_i)
+    queries = cache.queries.at[:, pos].set(q_i)
+
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) <= pos
+    )  # (1, L) columns j <= pos
+
+    # forward rows (pos, :): z_fw (B, E, L) over cached keys
+    z_fw = jnp.einsum(
+        "bed,bld->bel", q_i, keys, preferred_element_type=jnp.float32
+    ) / (d**0.5)
+    a_fw = jnp.where(valid[:, None, :], jax.nn.relu(z_fw), 0.0)
+    b_fw = jnp.where(valid[:, None, :], jax.nn.relu(-z_fw), 0.0)
+    a_fw = a_fw / (jnp.sum(a_fw, axis=-1, keepdims=True) + cfg.eps)
+    b_fw = b_fw / (jnp.sum(b_fw, axis=-1, keepdims=True) + cfg.eps)
+    fw_a = jnp.einsum("bel,bld->bed", a_fw, ca, preferred_element_type=jnp.float32)
+    fw_b = jnp.einsum("bel,bld->bed", b_fw, cb, preferred_element_type=jnp.float32)
+    vals_a = cache.vals_a.at[:, pos].set(fw_a + bias_i)
+    vals_b = cache.vals_b.at[:, pos].set(fw_b + bias_i)
+
+    # backward row pos: z column (B, L, E) = queries . k_i
+    z_col = jnp.einsum(
+        "bled,bd->ble", queries, k_i, preferred_element_type=jnp.float32
+    ) / (d**0.5)
+    a_bw = jnp.where(valid[:, :, None], jax.nn.relu(z_col), 0.0).reshape(b, L * e)
+    b_bw = jnp.where(valid[:, :, None], jax.nn.relu(-z_col), 0.0).reshape(b, L * e)
+    a_bw = a_bw / (jnp.sum(a_bw, axis=-1, keepdims=True) + cfg.eps)
+    b_bw = b_bw / (jnp.sum(b_bw, axis=-1, keepdims=True) + cfg.eps)
+    out_a = jnp.einsum(
+        "bq,bqd->bd", a_bw, vals_a.reshape(b, L * e, d), preferred_element_type=jnp.float32
+    )
+    out_b = jnp.einsum(
+        "bq,bqd->bd", b_bw, vals_b.reshape(b, L * e, d), preferred_element_type=jnp.float32
+    )
+
+    selector = jax.nn.sigmoid(linear(p["selector_embed"], x2, dtype).astype(jnp.float32))
+    out = selector * out_a + (1.0 - selector) * out_b
+    new_cache = cache._replace(
+        keys=keys, ca=ca, cb=cb, queries=queries, vals_a=vals_a, vals_b=vals_b
+    )
+    return out, new_cache
+
+
+def _cross_attention_step(
+    p, cfg: CaptionerConfig, cache: LayerCache, x2: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
+    """Single-query cross-attention against the cached encoder K/V
+    (reference models/layers.py:266-295; no mask — encoder side has no pads on the
+    end-to-end path, and padded feature rows are handled by the caller's mask)."""
+    b, d = x2.shape
+    h, dk = cfg.num_heads, cfg.head_dim
+    s = cache.k_cross.shape[1]
+    q = linear(p["Wq"], x2, dtype).reshape(b, h, dk)
+    k = cache.k_cross.reshape(b, s, h, dk)
+    v = cache.v_cross.reshape(b, s, h, dk)
+    scores = jnp.einsum("bhd,bshd->bhs", q, k, preferred_element_type=jnp.float32) / (
+        dk**0.5
+    )
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhs,bshd->bhd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).reshape(b, d)
+    return linear(p["out_linear"], out, dtype)
+
+
+def dec_step(
+    params,
+    cfg: CaptionerConfig,
+    state: DecState,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    dtype=None,
+):
+    """Decode one position for the whole batch.
+
+    tokens: (B,) int32 input tokens at position `pos` (scalar int32). Returns
+    (log_probs (B, vocab), new state). Matches
+    forward_dec(..., apply_log_softmax=True)[:, pos] exactly.
+    """
+    b = tokens.shape[0]
+    y = jnp.take(params["out_embedder"]["embed"], tokens, axis=0) * math.sqrt(
+        float(cfg.d_model)
+    )
+    y = y + jnp.take(params["pos_encoder"]["embed"], pos, axis=0)[None]
+
+    new_layers = []
+    y_list = []
+    for i in range(cfg.N_dec):
+        lp = params["decoders"][i]
+        cache = state.layers[i]
+        x2 = layernorm(lp["norm_1"], y, cfg.ln_eps)
+        dyn, cache = _dyn_exp_step(lp["dyn_exp"], cfg, cache, x2, pos, dtype)
+        y = y + dyn
+        x2 = layernorm(lp["norm_2"], y, cfg.ln_eps)
+        y = y + _cross_attention_step(lp["mha"], cfg, cache, x2, dtype)
+        x2 = layernorm(lp["norm_3"], y, cfg.ln_eps)
+        h = jax.nn.relu(linear(lp["ff"]["linear_1"], x2, dtype))
+        y = y + linear(lp["ff"]["linear_2"], h, dtype)
+        y_list.append(y)
+        new_layers.append(cache)
+
+    cat = jnp.concatenate(y_list, axis=-1)
+    y = y + linear(params["dec_reduce_group"], cat, dtype)
+    y = layernorm(params["dec_reduce_norm"], y, cfg.ln_eps)
+    logits = linear(params["vocab_linear"], y, dtype)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return log_probs, DecState(layers=new_layers)
+
+
+def gather_beams(state: DecState, indices: jnp.ndarray) -> DecState:
+    """Reorder the batch dimension of every cache after a beam reshuffle.
+
+    indices: (B,) int32 — for each output row, which input row to take (flattened
+    (batch, beam) layout).
+    """
+    take = lambda a: jnp.take(a, indices, axis=0)
+    return DecState(layers=[LayerCache(*map(take, lc)) for lc in state.layers])

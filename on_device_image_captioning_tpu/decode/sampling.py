@@ -1,0 +1,110 @@
+"""Multinomial sampling decode (SCST's sample generator) as a lax.while_loop.
+
+Replicates reference `get_batch_multiple_sampled_prediction`
+(reference models/captioning_model.py:120-218): each image is expanded to
+`num_outputs` rows, one token is sampled per step from the softmax until EOS or
+max_seq_len, per-step logprobs are recorded and zeroed after the first EOS
+(reference :206-215). The incremental DecState replaces the reference's
+full-prefix re-decode per step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CaptionerConfig
+from . import cache as dc
+
+
+class SampleResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, num_outputs, L+1) int32, starts with SOS
+    logprobs: jnp.ndarray  # (B, num_outputs, L+1) f32, 0 after first EOS
+    lengths: jnp.ndarray  # (B, num_outputs) int32 = index of first EOS (or L)
+
+
+def sample(
+    params,
+    cfg: CaptionerConfig,
+    enc_output: jnp.ndarray,
+    num_outputs: int,
+    max_seq_len: int,
+    rng: jax.Array,
+    sos_idx: int,
+    eos_idx: int,
+    dtype=None,
+) -> SampleResult:
+    """enc_output: (B, S_enc, d_model). Jittable, static shapes."""
+    b = enc_output.shape[0]
+    n = b * num_outputs
+    L = max_seq_len
+
+    # expand encoder rows per sample (reference :129-134)
+    rep = jnp.repeat(jnp.arange(b, dtype=jnp.int32), num_outputs)
+    enc_rep = jnp.take(enc_output, rep, axis=0)
+    state = dc.init_state(params, cfg, enc_rep, L + 1)
+
+    class Carry(NamedTuple):
+        t: jnp.ndarray  # next position to sample (0-based step counter)
+        tokens: jnp.ndarray  # (N, L+1)
+        logprobs: jnp.ndarray  # (N, L+1)
+        where_eos: jnp.ndarray  # (N,) first-EOS step (init L, reference :136-139)
+        finished: jnp.ndarray  # (N,)
+        state: dc.DecState
+        rng: jax.Array
+
+    tokens = jnp.zeros((n, L + 1), jnp.int32).at[:, 0].set(sos_idx)
+
+    def cond(c: Carry):
+        return (c.t < L) & ~jnp.all(c.finished)
+
+    def body(c: Carry):
+        t = c.t
+        last = jax.lax.dynamic_index_in_dim(c.tokens, t, axis=1, keepdims=False)
+        logp, state = dc.dec_step(params, cfg, c.state, last, t, dtype)
+        rng, sub = jax.random.split(c.rng)
+        word = jax.random.categorical(sub, logp, axis=-1).astype(jnp.int32)
+        word_lp = jnp.take_along_axis(logp, word[:, None], axis=-1)[:, 0]
+        tokens = jax.lax.dynamic_update_index_in_dim(c.tokens, word, t + 1, axis=1)
+        logprobs = jax.lax.dynamic_update_index_in_dim(
+            c.logprobs, word_lp, t + 1, axis=1
+        )
+        is_eos = word == eos_idx
+        where_eos = jnp.minimum(
+            c.where_eos, jnp.where(is_eos, t + 1, L)
+        )  # reference :183-188
+        finished = c.finished | is_eos
+        return Carry(t + 1, tokens, logprobs, where_eos, finished, state, rng)
+
+    init = Carry(
+        jnp.int32(0),
+        tokens,
+        jnp.zeros((n, L + 1), jnp.float32),
+        jnp.full((n,), L, jnp.int32),
+        jnp.zeros((n,), jnp.bool_),
+        state,
+        rng,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    # zero logprobs after the first EOS (reference :206-215)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, L + 1), 1)
+    logprobs = jnp.where(pos > out.where_eos[:, None], 0.0, out.logprobs)
+
+    return SampleResult(
+        tokens=out.tokens.reshape(b, num_outputs, L + 1),
+        logprobs=logprobs.reshape(b, num_outputs, L + 1),
+        lengths=out.where_eos.reshape(b, num_outputs),
+    )
+
+
+def captions_from_result(res: SampleResult):
+    """Host-side: lists truncated at first EOS inclusive (reference :194-204)."""
+    tokens = jax.device_get(res.tokens)
+    lengths = jax.device_get(res.lengths)
+    b, n, _ = tokens.shape
+    return [
+        [tokens[i, j, : lengths[i, j] + 1].tolist() for j in range(n)]
+        for i in range(b)
+    ]

@@ -1,0 +1,152 @@
+"""Decode engine tests: incremental-state exactness, beam-search parity with the
+reference implementation, sampling bookkeeping."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from on_device_image_captioning_tpu.config import CaptionerConfig, DecodeConfig
+from on_device_image_captioning_tpu.decode import beam_search as bs
+from on_device_image_captioning_tpu.decode import cache as dc
+from on_device_image_captioning_tpu.decode import sampling
+from on_device_image_captioning_tpu.models import captioner as cap
+
+TINY = CaptionerConfig(
+    d_model=32,
+    N_enc=2,
+    N_dec=2,
+    ff=64,
+    num_heads=4,
+    num_exp_enc_list=(4, 8),
+    num_exp_dec=4,
+    vocab_size=50,
+    max_seq_len=20,
+    img_feature_dim=24,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return cap.captioner_init(jax.random.PRNGKey(0), TINY)
+
+
+def test_incremental_matches_full(tiny_params):
+    """dec_step chained over a prefix must equal the full forward_dec logits at
+    every position — the exactness claim of decode/cache.py."""
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 7, TINY.img_feature_dim), dtype=np.float32)
+    tokens = rng.integers(0, TINY.vocab_size, size=(2, 9)).astype(np.int32)
+
+    cross = cap.forward_enc(tiny_params, TINY, feats)
+    full = cap.forward_dec(tiny_params, TINY, cross, tokens, apply_log_softmax=True)
+
+    state = dc.init_state(tiny_params, TINY, cross, max_len=tokens.shape[1])
+    for t in range(tokens.shape[1]):
+        step_lp, state = dc.dec_step(
+            tiny_params, TINY, state, jnp.asarray(tokens[:, t]), jnp.int32(t)
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_lp), np.asarray(full[:, t]), rtol=2e-5, atol=2e-5,
+            err_msg=f"position {t}",
+        )
+
+
+def _ref_captioner(reference_path, torch_model, beam_args):
+    from models.captioning_model import Captioner
+
+    class RefCaptioner(Captioner):
+        def forward_enc(self, enc_input, enc_input_num_pads):
+            return self.model.forward_enc(enc_input, enc_input_num_pads)
+
+        def forward_dec(
+            self, cross_input, enc_input_num_pads, dec_input, dec_input_num_pads
+        ):
+            return self.model.forward_dec(
+                cross_input,
+                enc_input_num_pads,
+                dec_input,
+                dec_input_num_pads,
+                apply_log_softmax=True,
+            )
+
+    return RefCaptioner(beam_args, model=torch_model)
+
+
+@pytest.mark.parametrize("beam_size,max_len", [(3, 12), (5, 16)])
+def test_beam_search_parity(reference_path, beam_size, max_len):
+    """JAX beam search must reproduce the reference's captions token-for-token on
+    a tiny model with shared random weights."""
+    import torch
+    from argparse import Namespace
+    from models.ExpansionNet_v2 import ExpansionNet_v2
+
+    from on_device_image_captioning_tpu.params import torch_convert as tc
+
+    torch.manual_seed(3)
+    drop = Namespace(enc=0.0, dec=0.0, enc_input=0.0, dec_input=0.0, other=0.0)
+    ref = ExpansionNet_v2(
+        d_model=TINY.d_model, N_enc=TINY.N_enc, N_dec=TINY.N_dec, ff=TINY.ff,
+        num_heads=TINY.num_heads, num_exp_enc_list=list(TINY.num_exp_enc_list),
+        num_exp_dec=TINY.num_exp_dec,
+        output_word2idx={f"w{i}": i for i in range(TINY.vocab_size)},
+        output_idx2word=[f"w{i}" for i in range(TINY.vocab_size)],
+        max_seq_len=TINY.max_seq_len, drop_args=drop,
+        img_feature_dim=TINY.img_feature_dim, rank="cpu",
+    )
+    ref.eval()
+    sos, eos = 2, 3
+    beam_args = {"sos_idx": sos, "eos_idx": eos, "beam_size": beam_size,
+                 "how_many_outputs": beam_size, "beam_max_seq_len": max_len}
+    captioner = _ref_captioner(reference_path, ref, beam_args)
+
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((3, 7, TINY.img_feature_dim), dtype=np.float32)
+    with torch.no_grad():
+        ref_caps, ref_lps = captioner(
+            torch.from_numpy(feats), enc_x_num_pads=[0, 0, 0], mode="beam_search"
+        )
+
+    params = tc.to_jax(tc.convert_captioner(tc.strip_prefixes(ref.state_dict()), TINY))
+    cross = cap.forward_enc(params, TINY, feats)
+    dcfg = DecodeConfig(
+        beam_size=beam_size, how_many_outputs=beam_size, max_seq_len=max_len,
+        sos_idx=sos, eos_idx=eos,
+    )
+    res = jax.jit(
+        lambda p, c: bs.beam_search(p, TINY, c, dcfg)
+    )(params, cross)
+    got_caps, got_lps = bs.captions_from_result(res)
+
+    assert got_caps == ref_caps
+    # per-step logprobs agree on the kept tokens
+    for i in range(len(ref_caps)):
+        for j in range(len(ref_caps[i])):
+            ref_row = ref_lps[i][j][: len(got_lps[i][j])].numpy()
+            np.testing.assert_allclose(got_lps[i][j], ref_row, rtol=1e-4, atol=1e-4)
+
+
+def test_sampling_bookkeeping(tiny_params):
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((2, 7, TINY.img_feature_dim), dtype=np.float32)
+    cross = cap.forward_enc(tiny_params, TINY, feats)
+    res = sampling.sample(
+        tiny_params, TINY, cross, num_outputs=3, max_seq_len=10,
+        rng=jax.random.PRNGKey(0), sos_idx=2, eos_idx=3,
+    )
+    assert res.tokens.shape == (2, 3, 11)
+    caps = sampling.captions_from_result(res)
+    toks = np.asarray(res.tokens).reshape(6, 11)
+    lps = np.asarray(res.logprobs).reshape(6, 11)
+    lengths = np.asarray(res.lengths).reshape(6)
+    assert (toks[:, 0] == 2).all()
+    for r in range(6):
+        # length points at first EOS (or max_len when none sampled)
+        if 3 in toks[r, 1:].tolist():
+            first = 1 + toks[r, 1:].tolist().index(3)
+            assert lengths[r] == first
+            assert (lps[r, first + 1 :] == 0).all()
+        else:
+            assert lengths[r] == 10
+        assert caps[r // 3][r % 3] == toks[r, : lengths[r] + 1].tolist()
+    # logprob of SOS position is 0
+    assert (lps[:, 0] == 0).all()
