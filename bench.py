@@ -1,0 +1,89 @@
+"""End-to-end captioning throughput benchmark (driver-run, single chip).
+
+Measures images/sec for the full pipeline the reference benchmarks
+(benchmarking/benchmarking.py:69-121: Swin-L/384 encode + beam search): device-side
+normalize -> Swin-L -> expansion encoder -> incremental beam decode (beam 3, 20
+steps — the reference's fixed TRT decode budget,
+onnx4tensorrt/End_ExpansionNet_v2_onnx_tensorrt.py:10-11).
+
+vs_baseline compares against the reference's published single-image GPU latency of
+1.753 s/image (benchmarking/plotting.py:42) => 0.5704 images/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 1.0 / 1.753
+
+
+def main():
+    from on_device_image_captioning_tpu.config import (
+        DecodeConfig,
+        end_expansionnet_v2_coco,
+    )
+    from on_device_image_captioning_tpu.decode import beam_search as bs
+    from on_device_image_captioning_tpu.models import end_to_end
+    from on_device_image_captioning_tpu.utils.image import normalize_on_device
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    beam = int(os.environ.get("BENCH_BEAM", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
+    dcfg = DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=20)
+
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def caption(params, images_u8, rng):
+        x = normalize_on_device(images_u8)
+        enc = end_to_end.forward_enc(params, cfg, x)
+        res = bs.beam_search(
+            params["captioner"], cfg.captioner, enc, dcfg, rng=rng,
+            dtype=cfg.compute_dtype,
+        )
+        return res.tokens, res.lengths
+
+    rng = jax.random.PRNGKey(1)
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (batch, 384, 384, 3), dtype=np.uint8)
+    )
+
+    # warmup / compile
+    toks, lens = caption(params, images, rng)
+    jax.block_until_ready(toks)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        toks, lens = caption(params, images, rng)
+        jax.block_until_ready(toks)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    images_per_sec = batch / best
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_e2e_swinL384_beam%d_b%d" % (beam, batch),
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Jittable training steps: cross-entropy (XE) teacher-forcing and SCST gradient.
+
+Reference training loop semantics (reference train.py:47-302):
+- XE: model(enc_x, dec_x = y[:, :-1]) vs target y[:, 1:] under the label-smoothing
+  loss (train.py:110-123);
+- gradient accumulation = optimizer.step() every num_accum iterations
+  (train.py:174-176) -> wrap the optimizer in optax.MultiSteps;
+- SCST: sample N captions per image, CIDEr reward with leave-one-out mean baseline,
+  loss = (r - b) * sum(-logp) (train.py:124-172, losses/reward.py) — here the
+  gradient pass re-scores the sampled captions teacher-forced (identical logprobs
+  to the sampling pass, but differentiable without backprop through the decode
+  loop).
+
+Data parallelism: callers jit these steps with the batch sharded on the mesh's
+'data' axis and params replicated (or TP-sharded per parallel/mesh.py) — XLA
+inserts the gradient psum that DDP's all-reduce performed in the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import CaptionerConfig, ModelConfig
+from ..models import captioner as cap
+from ..models import end_to_end
+from .losses import label_smoothing_loss, mean_baseline, scst_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=params, opt_state=optimizer.init(params), step=jnp.zeros([], jnp.int32)
+    )
+
+
+def make_xe_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    end_to_end_model: bool,
+    smoothing: float = 0.1,
+    remat: bool = False,
+) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    batch: {'enc_input': images NHWC or features (B,S,F), 'captions': (B,T) int32
+    right-padded with PAD} — dec input/target split happens here
+    (reference train.py:107-121).
+    """
+    if end_to_end_model:
+        model_cfg: ModelConfig = cfg
+        cap_cfg = model_cfg.captioner
+    else:
+        cap_cfg: CaptionerConfig = cfg
+
+    def loss_fn(params, batch, rng):
+        captions = batch["captions"]
+        dec_input = captions[:, :-1]
+        targets = captions[:, 1:]
+        dec_pads = jnp.sum(dec_input == cap_cfg.pad_idx, axis=-1)
+        if end_to_end_model:
+            logits = end_to_end.forward(
+                params, model_cfg, batch["enc_input"], dec_input,
+                dec_num_pads=dec_pads, rng=rng, train=True, remat=remat,
+            )
+        else:
+            logits = cap.forward(
+                params, cap_cfg, batch["enc_input"], dec_input,
+                enc_num_pads=batch.get("enc_num_pads"), dec_num_pads=dec_pads,
+                rng=rng, train=True,
+            )
+        loss = label_smoothing_loss(logits, targets, cap_cfg.pad_idx, smoothing)
+        return loss
+
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss},
+        )
+
+    return step
+
+
+def make_scst_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    end_to_end_model: bool,
+    num_samples: int,
+    remat: bool = False,
+) -> Callable:
+    """Returns step(state, batch, sampled, rewards) -> (state, metrics).
+
+    `sampled`: {'tokens': (B, N, L+1) from decode.sampling (SOS + caption),
+    'lengths': (B, N) index of first EOS}; `rewards`: (B, N) CIDEr scores computed
+    on host between the sampling call and this step. The teacher-forced re-score
+    reproduces the sampling logprobs exactly (same decoder), giving the REINFORCE
+    gradient without differentiating the decode loop.
+    """
+    if end_to_end_model:
+        model_cfg: ModelConfig = cfg
+        cap_cfg = model_cfg.captioner
+    else:
+        cap_cfg: CaptionerConfig = cfg
+
+    def loss_fn(params, batch, sampled, rewards):
+        tokens = sampled["tokens"]  # (B, N, L+1)
+        lengths = sampled["lengths"]  # (B, N)
+        b, n, lp1 = tokens.shape
+        flat = tokens.reshape(b * n, lp1)
+        if end_to_end_model:
+            enc = end_to_end.forward_enc(
+                params, model_cfg, batch["enc_input"], train=False, remat=remat
+            )
+        else:
+            enc = cap.forward_enc(
+                params, cap_cfg, batch["enc_input"],
+                enc_num_pads=batch.get("enc_num_pads"),
+            )
+        enc_rep = jnp.repeat(enc, n, axis=0)
+        logits = cap.forward_dec(
+            params["captioner"] if end_to_end_model else params,
+            cap_cfg, enc_rep, flat[:, :-1], apply_log_softmax=True,
+            dtype=(model_cfg.compute_dtype if end_to_end_model else None),
+        )  # (B*N, L, V)
+        step_lp = jnp.take_along_axis(logits, flat[:, 1:, None], axis=-1)[..., 0]
+        # zero logprobs beyond the first EOS (position t+1 corresponds to token
+        # index t+1; keep up to and including EOS — reference :206-215)
+        pos = jax.lax.broadcasted_iota(jnp.int32, step_lp.shape, 1)
+        keep = pos < lengths.reshape(b * n, 1)
+        step_lp = jnp.where(keep, step_lp, 0.0).reshape(b, n, -1)
+        baselines = mean_baseline(rewards)
+        loss = scst_loss(step_lp, rewards, baselines)
+        return loss, (rewards.mean(), baselines.mean(), step_lp.sum(-1).mean())
+
+    def step(state: TrainState, batch, sampled, rewards):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sampled, rewards
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        reward_mean, base_mean, logp_mean = aux
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {
+                "loss": loss,
+                "reward": reward_mean,
+                "baseline": base_mean,
+                "logprob_sum": logp_mean,
+            },
+        )
+
+    return step
+
+
+def with_grad_accum(
+    optimizer: optax.GradientTransformation, num_accum: int
+) -> optax.GradientTransformation:
+    """Apply the optimizer every num_accum micro-steps (reference train.py:174-176)."""
+    if num_accum <= 1:
+        return optimizer
+    return optax.MultiSteps(optimizer, every_k_schedule=num_accum)

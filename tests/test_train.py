@@ -1,0 +1,144 @@
+"""Training-stack tests: loss/optimizer parity with the reference, XE step
+convergence, and the multichip dry run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from on_device_image_captioning_tpu.train import radam as jradam
+from on_device_image_captioning_tpu.train import schedules
+from on_device_image_captioning_tpu.train.losses import (
+    label_smoothing_loss,
+    mean_baseline,
+    scst_loss,
+)
+
+
+def test_label_smoothing_parity(reference_path):
+    import torch
+    from losses.loss import LabelSmoothingLoss
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 5, 11), dtype=np.float32)
+    targets = np.array([[1, 4, 2, 0, 0], [3, 5, 6, 7, 0]])
+    pad = 0
+    ref_loss_mod = LabelSmoothingLoss(smoothing_coeff=0.1, rank="cpu")
+    with torch.no_grad():
+        # divide_by_non_zeros=False avoids the reference's CUDA-only division path
+        # (losses/loss.py:33 uses torch.cuda.FloatTensor)
+        ref_sum = ref_loss_mod(
+            torch.from_numpy(logits), torch.from_numpy(targets), pad,
+            divide_by_non_zeros=False,
+        ).item()
+    n_non_pad = int((targets != pad).sum())
+    got = float(label_smoothing_loss(logits, targets, pad, 0.1))
+    np.testing.assert_allclose(got, ref_sum / n_non_pad, rtol=1e-5)
+    got_sum = float(
+        label_smoothing_loss(logits, targets, pad, 0.1, divide_by_non_pads=False)
+    )
+    np.testing.assert_allclose(got_sum, ref_sum, rtol=1e-5)
+
+
+def test_radam_parity(reference_path):
+    import torch
+    from optims.radam import RAdam
+
+    torch.manual_seed(0)
+    w0 = np.array([1.5, -2.0, 0.5, 3.0], dtype=np.float32)
+    target = np.array([0.0, 1.0, -1.0, 2.0], dtype=np.float32)
+
+    w_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = RAdam([w_t], lr=1e-2, betas=(0.9, 0.98), eps=1e-9)
+    for _ in range(25):
+        opt_t.zero_grad()
+        loss = ((w_t - torch.from_numpy(target)) ** 2).sum()
+        loss.backward()
+        opt_t.step()
+
+    w_j = jnp.asarray(w0)
+    opt_j = jradam.radam(1e-2, b1=0.9, b2=0.98, eps=1e-9)
+    state = opt_j.init(w_j)
+    grad_fn = jax.grad(lambda w: jnp.sum((w - jnp.asarray(target)) ** 2))
+    for _ in range(25):
+        g = grad_fn(w_j)
+        upd, state = opt_j.update(g, state, w_j)
+        w_j = optax.apply_updates(w_j, upd)
+
+    np.testing.assert_allclose(
+        np.asarray(w_j), w_t.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_schedules_match_reference_lambdas():
+    """Schedules equal the reference lambdas evaluated pointwise
+    (reference train.py:503-526)."""
+    lr, warmup, anneal_coeff, anneal_every, num_batches, min_lr = (
+        2e-4, 100, 0.8, 3.0, 50, 5e-7,
+    )
+    ann = schedules.annealing(lr, warmup, anneal_every, num_batches, 0.8)
+    cwa = schedules.custom_warmup_anneal(
+        lr, warmup, min_lr, anneal_coeff, anneal_every, num_batches
+    )
+    for it in [0, 1, 50, 99, 100, 101, 149, 150, 500, 5000]:
+        ref_ann = (min(it, warmup) / warmup) * lr * (
+            0.8 ** (it // (anneal_every * num_batches))
+        )
+        ref_cwa = max(
+            (it >= warmup) * min_lr,
+            (lr / max(warmup - it, 1))
+            * pow(anneal_coeff, it // (num_batches * anneal_every)),
+        )
+        np.testing.assert_allclose(float(ann(it)), ref_ann, rtol=1e-6)
+        np.testing.assert_allclose(float(cwa(it)), ref_cwa, rtol=1e-6)
+
+
+def test_scst_loss_shapes():
+    rng = np.random.default_rng(0)
+    lp = -np.abs(rng.standard_normal((2, 5, 7), dtype=np.float32))
+    r = rng.standard_normal((2, 5)).astype(np.float32)
+    b = np.asarray(mean_baseline(jnp.asarray(r)))
+    # leave-one-out mean
+    for i in range(2):
+        for j in range(5):
+            expect = (r[i].sum() - r[i, j]) / 4
+            np.testing.assert_allclose(b[i, j], expect, rtol=1e-5)
+    loss = float(scst_loss(jnp.asarray(lp), jnp.asarray(r), jnp.asarray(b)))
+    expect = np.mean((r - b) * (-lp).sum(-1))
+    np.testing.assert_allclose(loss, expect, rtol=1e-5)
+
+
+def test_xe_step_decreases_loss():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _tiny_model_cfg
+    from on_device_image_captioning_tpu.models import end_to_end
+    from on_device_image_captioning_tpu.train import train_step
+
+    cfg = _tiny_model_cfg()
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    step = jax.jit(train_step.make_xe_step(cfg, opt, end_to_end_model=True))
+    state = train_step.init_train_state(params, opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        "enc_input": jnp.asarray(
+            rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
+        ),
+        "captions": jnp.asarray(rng.integers(0, 64, (2, 10), dtype=np.int32)),
+    }
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_dryrun_multichip():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
