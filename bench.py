@@ -60,15 +60,16 @@ def main():
         np.random.default_rng(0).integers(0, 256, (batch, 384, 384, 3), dtype=np.uint8)
     )
 
-    # warmup / compile
+    # warmup / compile. NOTE: sync via device_get — block_until_ready does not
+    # reliably block on the experimental tunneled TPU platform.
     toks, lens = caption(params, images, rng)
-    jax.block_until_ready(toks)
+    jax.device_get(toks)
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         toks, lens = caption(params, images, rng)
-        jax.block_until_ready(toks)
+        jax.device_get(toks)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -1,0 +1,94 @@
+"""COCO-caption evaluation harness.
+
+API-compatible rebuild of the reference's COCOEvalCap (reference eval/eval.py:17-117):
+tokenize gts/res PTB-style, run the selected scorers, aggregate into `eval` /
+`imgToEval` dicts. METEOR and SPICE require external Java jars that the reference
+itself ships out-of-band (.MISSING_LARGE_BLOBS); they are optional here and
+activate only when a jar path is configured (see meteor.py / spice.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from .bleu import compute_bleu
+from .cider import compute_cider
+from .rouge import compute_rouge
+from .tokenizer import tokenize_captions
+
+
+class CocoEvalCap:
+    """gts/res: {img_id: [{'image_id': id, 'caption': str}, ...]} — res holds one
+    candidate per image."""
+
+    def __init__(self, gts: Dict, res: Dict):
+        self.eval: Dict[str, float] = {}
+        self.imgToEval: Dict = {}
+        self.gts_raw = gts
+        self.res_raw = res
+
+    def evaluate(
+        self,
+        bleu: bool = True,
+        rouge: bool = True,
+        cider: bool = True,
+        spice: bool = False,
+        meteor: bool = False,
+        verbose: bool = False,
+    ) -> Dict[str, float]:
+        gts = tokenize_captions(self.gts_raw)
+        res = tokenize_captions(self.res_raw)
+        img_ids = list(gts.keys())
+
+        if bleu:
+            corpus, per_seg = compute_bleu(gts, res)
+            for k, score in enumerate(corpus):
+                self._set(f"Bleu_{k + 1}", score, img_ids, per_seg[k])
+        if rouge:
+            score, per_img = compute_rouge(gts, res)
+            self._set("ROUGE_L", score, img_ids, per_img)
+        if cider:
+            score, per_img = compute_cider(gts, res)
+            self._set("CIDEr", score, img_ids, per_img)
+        if meteor:
+            from .meteor import MeteorScorer
+
+            scorer = MeteorScorer()
+            score, per_img = scorer.compute(gts, res)
+            self._set("METEOR", score, img_ids, per_img)
+        if spice:
+            from .spice import SpiceScorer
+
+            scorer = SpiceScorer()
+            score, per_img = scorer.compute(gts, res)
+            self._set("SPICE", score, img_ids, per_img)
+        if verbose:
+            for k, v in self.eval.items():
+                print(f"{k}: {v:.4f}", flush=True)
+        return dict(self.eval)
+
+    def _set(self, method: str, score: float, img_ids: Sequence, per_img) -> None:
+        self.eval[method] = float(score)
+        for i, img_id in enumerate(img_ids):
+            self.imgToEval.setdefault(img_id, {"image_id": img_id})[method] = float(
+                per_img[i]
+            )
+
+
+def evaluate_captions(
+    predictions: Dict[object, str],
+    references: Dict[object, List[str]],
+    metrics: Sequence[str] = ("bleu", "rouge", "cider"),
+    verbose: bool = False,
+) -> Dict[str, float]:
+    """Convenience wrapper over CocoEvalCap for plain {id: caption} predictions."""
+    gts = {i: [{"caption": c} for c in refs] for i, refs in references.items()}
+    res = {i: [{"caption": predictions[i]}] for i in references.keys()}
+    ev = CocoEvalCap(gts, res)
+    return ev.evaluate(
+        bleu="bleu" in metrics,
+        rouge="rouge" in metrics,
+        cider="cider" in metrics,
+        spice="spice" in metrics,
+        meteor="meteor" in metrics,
+        verbose=verbose,
+    )

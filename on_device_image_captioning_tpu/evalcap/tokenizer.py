@@ -1,0 +1,67 @@
+"""PTB-style caption tokenizer, native Python.
+
+The reference shells out to Stanford CoreNLP's PTBTokenizer jar with -lowerCase
+and then strips a punctuation list (reference eval/tokenizer/ptbtokenizer.py:42-113);
+the jar is an external binary absent from the snapshot (.MISSING_LARGE_BLOBS), so
+this module implements the Treebank tokenization rules that matter for caption text
+directly: punctuation splitting, English contraction clitics ('s, n't, 'll, 've,
+'re, 'm, 'd), bracket normalization, lowercasing — followed by the same
+punctuation-drop list.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+PUNCTUATIONS = {
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+}
+
+_BRACKETS = {
+    "(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-",
+    "[": "-LRB-", "]": "-RRB-",
+}
+
+_RULES = [
+    # separate ellipses and standalone punctuation
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"([,;:@#$%&])"), r" \1 "),
+    # final period (PTB splits sentence-final periods, keeps abbreviations; caption
+    # text has no abbreviation periods after the eval pipeline strips them anyway)
+    (re.compile(r"([^\.])(\.)(\s|$)"), r"\1 \2\3"),
+    (re.compile(r"([?!])"), r" \1 "),
+    (re.compile(r"([\]\[(){}<>])"), r" \1 "),
+    (re.compile(r"--"), r" -- "),
+    # possessive / contraction clitics
+    (re.compile(r"([^' ])('[sSmMdD]|'ll|'LL|'re|'RE|'ve|'VE)(\s|$)"), r"\1 \2\3"),
+    (re.compile(r"(\S)(n't|N'T)(\s|$)"), r"\1 \2\3"),
+    # quotes
+    (re.compile(r'"'), r" '' "),
+]
+
+
+def ptb_tokenize_sentence(text: str) -> List[str]:
+    text = text.replace("\n", " ")
+    for pat, rep in _RULES:
+        text = pat.sub(rep, text)
+    tokens = []
+    for tok in text.split():
+        tok = _BRACKETS.get(tok, tok)
+        tokens.append(tok.lower())
+    return tokens
+
+
+def tokenize_captions(captions_for_image: Dict) -> Dict[object, List[str]]:
+    """{img_id: [{'caption': str}, ...]} -> {img_id: [tokenized strings]} with the
+    punctuation list dropped, mirroring the reference wrapper's output shape
+    (reference eval/tokenizer/ptbtokenizer.py:103-113)."""
+    out: Dict[object, List[str]] = {}
+    for img_id, caps in captions_for_image.items():
+        out[img_id] = [
+            " ".join(
+                w for w in ptb_tokenize_sentence(c["caption"]) if w not in PUNCTUATIONS
+            )
+            for c in caps
+        ]
+    return out
