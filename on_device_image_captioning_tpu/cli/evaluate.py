@@ -1,0 +1,245 @@
+"""Batch evaluation CLI (reference test.py): beam-decode a COCO-Karpathy or VizWiz
+split and score with the metric suite, optionally per beam size.
+
+    python -m on_device_image_captioning_tpu.cli.evaluate \
+        --dataset coco --annotations dataset_coco.json --images_path ... \
+        --load_path ckpt --split test --beam_sizes 3 5
+
+Unlike the reference (one process per GPU, rank-0 scoring — test.py:339-513), this
+evaluates on whatever jax.devices() offers via batch sharding, and the scorers are
+in-process Python (no Java subprocesses).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_dataset(args):
+    from ..data.datasets import load_coco_karpathy, load_vizwiz
+    from ..data.text import Vocab
+
+    vocab = Vocab.from_json(args.vocab_path) if args.vocab_path else None
+    if args.dataset == "coco":
+        return load_coco_karpathy(args.annotations, args.images_path, vocab=vocab)
+    return load_vizwiz(args.annotations, args.images_path, vocab=vocab)
+
+
+def evaluate_split(
+    params, cfg, dataset, split: str, beam_size: int, batch_size: int,
+    max_seq_len: int, features_path: str | None = None, verbose: bool = True,
+):
+    """Decode every image of a split and score. Returns (scores, predictions).
+
+    (reference test.py:141-275 evaluate_model; sub-batching at :166-197.)
+    """
+    from ..config import DecodeConfig
+    from ..data.features_io import FeatureStore
+    from ..decode import beam_search as bs
+    from ..evalcap.harness import evaluate_captions
+    from ..models import captioner as cap_mod
+    from ..models import end_to_end
+    from ..utils.image import normalize_on_device, preprocess_batch
+
+    vocab = dataset.vocab
+    records = dataset.records(split)
+    end2end = features_path is None
+    dcfg = DecodeConfig(
+        beam_size=beam_size, how_many_outputs=1, max_seq_len=max_seq_len,
+        sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx,
+    )
+
+    if end2end:
+
+        @jax.jit
+        def decode_batch(params, images_u8):
+            x = normalize_on_device(images_u8)
+            enc = end_to_end.forward_enc(params, cfg, x)
+            return bs.beam_search(
+                params["captioner"], cfg.captioner, enc, dcfg, dtype=cfg.compute_dtype
+            )
+
+    else:
+
+        @jax.jit
+        def decode_batch(params, feats):
+            enc = cap_mod.forward_enc(params, cfg, feats)
+            return bs.beam_search(params, cfg, enc, dcfg)
+
+    store = FeatureStore(features_path) if features_path else None
+    predictions = {}
+    t0 = time.time()
+    for start in range(0, len(records), batch_size):
+        chunk = records[start : start + batch_size]
+        pad_rows = batch_size - len(chunk)  # static batch: pad the tail chunk
+        if end2end:
+            imgs = preprocess_batch(
+                [r["img_path"] for r in chunk], cfg.swin.img_size
+            )
+            if pad_rows:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad_rows, 0)])
+            res = decode_batch(params, jnp.asarray(imgs))
+        else:
+            feats, _ = store.read_batch([r["img_id"] for r in chunk])
+            if pad_rows:
+                feats = np.concatenate([feats, np.repeat(feats[-1:], pad_rows, 0)])
+            res = decode_batch(params, jnp.asarray(feats))
+        caps, _ = bs.captions_from_result(res)
+        for r, row in zip(chunk, caps):
+            predictions[r["img_id"]] = vocab.description(row[0]).lower()
+        if verbose:
+            done = min(start + batch_size, len(records))
+            print(
+                f"decoded {done}/{len(records)} "
+                f"({done / max(time.time() - t0, 1e-9):.2f} img/s)",
+                flush=True,
+            )
+    if store:
+        store.close()
+
+    references = {r["img_id"]: r["captions"] for r in records if r["captions"]}
+    preds_for_eval = {i: predictions[i] for i in references}
+    scores = evaluate_captions(preds_for_eval, references, verbose=verbose)
+    return scores, predictions
+
+
+def compute_evaluation_loss(
+    params, cfg, dataset, split: str, batch_size: int,
+    features_path: str | None = None,
+):
+    """Mean label-smoothing loss over a split (reference test.py:80-138)."""
+    from ..data.features_io import FeatureStore
+    from ..data.text import pad_batch
+    from ..models import captioner as cap_mod
+    from ..models import end_to_end
+    from ..train.losses import label_smoothing_loss
+    from ..utils.image import normalize_on_device, preprocess_batch
+
+    vocab = dataset.vocab
+    records = dataset.records(split)
+    end2end = features_path is None
+    store = FeatureStore(features_path) if features_path else None
+
+    total, count = 0.0, 0
+    for start in range(0, len(records), batch_size):
+        chunk = records[start : start + batch_size]
+        caps = [vocab.encode_caption(r["captions"][0]) for r in chunk]
+        padded, _ = pad_batch(caps, vocab.pad_idx)
+        toks = jnp.asarray(padded, jnp.int32)
+        dec_in, targets = toks[:, :-1], toks[:, 1:]
+        dec_pads = jnp.sum(dec_in == vocab.pad_idx, axis=-1)
+        if end2end:
+            imgs = jnp.asarray(
+                preprocess_batch([r["img_path"] for r in chunk], cfg.swin.img_size)
+            )
+            logits = end_to_end.forward(
+                params, cfg, normalize_on_device(imgs), dec_in, dec_num_pads=dec_pads
+            )
+            pad_idx = cfg.captioner.pad_idx
+        else:
+            feats, fpads = store.read_batch([r["img_id"] for r in chunk])
+            logits = cap_mod.forward(
+                params, cfg, jnp.asarray(feats), dec_in,
+                enc_num_pads=jnp.asarray(fpads), dec_num_pads=dec_pads,
+            )
+            pad_idx = cfg.pad_idx
+        loss = label_smoothing_loss(logits, targets, pad_idx)
+        total += float(loss) * len(chunk)
+        count += len(chunk)
+    if store:
+        store.close()
+    return total / max(count, 1)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluation")
+    parser.add_argument("--dataset", choices=["coco", "vizwiz"], default="coco")
+    parser.add_argument("--annotations", type=str, required=True)
+    parser.add_argument("--images_path", type=str, default="")
+    parser.add_argument("--features_path", type=str, default=None,
+                        help="HDF5 feature store; when set, evaluates the "
+                             "features-in model instead of end-to-end")
+    parser.add_argument("--vocab_path", type=str, default=None)
+    parser.add_argument("--load_path", type=str, nargs="+", required=True,
+                        help="one checkpoint, or several for ensemble decoding")
+    parser.add_argument("--split", default="test", choices=["val", "test"])
+    parser.add_argument("--beam_sizes", type=int, nargs="+", default=[3])
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_seq_len", type=int, default=74)
+    parser.add_argument("--param_config", type=int, default=0, choices=[0, 1, 2])
+    parser.add_argument("--model_dim", type=int, default=512)
+    parser.add_argument("--N_enc", type=int, default=3)
+    parser.add_argument("--N_dec", type=int, default=3)
+    parser.add_argument("--ff", type=int, default=2048)
+    parser.add_argument("--num_heads", type=int, default=8)
+    parser.add_argument("--num_exp_enc_list", type=int, nargs="+",
+                        default=[32, 64, 128, 256, 512])
+    parser.add_argument("--num_exp_dec", type=int, default=16)
+    parser.add_argument("--img_feature_dim", type=int, default=1536)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--eval_loss", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..config import CaptionerConfig, end_expansionnet_v2_coco, remove_layers
+    from ..utils.checkpointing import load_checkpoint
+    from .demo import load_params
+
+    dataset = build_dataset(args)
+    vocab = dataset.vocab
+    cap = CaptionerConfig(
+        d_model=args.model_dim, N_enc=args.N_enc, N_dec=args.N_dec, ff=args.ff,
+        num_heads=args.num_heads, num_exp_enc_list=tuple(args.num_exp_enc_list),
+        num_exp_dec=args.num_exp_dec, vocab_size=len(vocab),
+        max_seq_len=args.max_seq_len, img_feature_dim=args.img_feature_dim,
+        sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+        unk_idx=vocab.unk_idx,
+    )
+    if args.features_path:
+        cfg = cap  # features-in CaptionerConfig
+        if args.param_config:
+            cfg = dataclasses.replace(
+                cfg,
+                N_enc=cfg.N_enc - (args.param_config >= 1),
+                N_dec=cfg.N_dec - (args.param_config >= 2),
+            )
+        if len(args.load_path) > 1:
+            raise NotImplementedError("ensemble over features checkpoints: use "
+                                      "decode.ensemble_beam_search directly")
+        params = load_checkpoint(args.load_path[0])["params"]
+    else:
+        cfg = end_expansionnet_v2_coco(
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+        )
+        cfg = dataclasses.replace(
+            cfg, captioner=dataclasses.replace(cap, img_feature_dim=1536)
+        )
+        cfg = remove_layers(cfg, args.param_config)
+        if len(args.load_path) > 1:
+            raise NotImplementedError(
+                "ensemble evaluation CLI wiring lands with ensemble_beam_search"
+            )
+        params = load_params(args.load_path[0], cfg)
+
+    for beam in args.beam_sizes:
+        print(f"=== beam size {beam} ===", flush=True)
+        scores, _ = evaluate_split(
+            params, cfg, dataset, args.split, beam, args.batch_size,
+            args.max_seq_len, args.features_path,
+        )
+        for k, v in scores.items():
+            print(f"{k}: {v:.4f}", flush=True)
+    if args.eval_loss:
+        loss = compute_evaluation_loss(
+            params, cfg, dataset, args.split, args.batch_size, args.features_path
+        )
+        print(f"eval loss: {loss:.4f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,106 @@
+"""Feature extraction CLI (reference data_generator.py): run the Swin backbone
+over every image of a dataset and write a "{img_id}_features" HDF5 store usable by
+the features-in training path.
+
+    python -m on_device_image_captioning_tpu.cli.generate_features \
+        --dataset coco --annotations dataset_coco.json --images_path ... \
+        --backbone_checkpoint swin.pth --output features.hdf5
+
+Unlike the reference (one image at a time on GPU, data_generator.py:98-160), this
+batches images through a jitted forward for MXU utilization.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Feature generation")
+    parser.add_argument("--dataset", choices=["coco", "vizwiz"], default="coco")
+    parser.add_argument("--annotations", type=str, required=True)
+    parser.add_argument("--images_path", type=str, default="")
+    parser.add_argument("--vocab_path", type=str, default=None)
+    parser.add_argument("--backbone_checkpoint", type=str, default=None,
+                        help=".pth (full model, Swin-official, or backbone-only) "
+                             "or native checkpoint; random init when omitted")
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..config import end_expansionnet_v2_coco
+    from ..data.datasets import load_coco_karpathy, load_vizwiz
+    from ..data.features_io import FeatureStore
+    from ..data.text import Vocab
+    from ..models import swin as swin_mod
+    from ..utils.image import normalize_on_device, preprocess_batch
+
+    vocab = Vocab.from_json(args.vocab_path) if args.vocab_path else None
+    if args.dataset == "coco":
+        dataset = load_coco_karpathy(args.annotations, args.images_path, vocab=vocab)
+    else:
+        dataset = load_vizwiz(args.annotations, args.images_path, vocab=vocab)
+
+    cfg = end_expansionnet_v2_coco(
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+    )
+    swin_cfg = cfg.swin
+    if args.backbone_checkpoint:
+        params = _load_backbone(args.backbone_checkpoint, cfg)
+    else:
+        print("WARNING: random backbone weights (no checkpoint given)", flush=True)
+        params = swin_mod.swin_init(jax.random.PRNGKey(0), swin_cfg)
+
+    @jax.jit
+    def extract(params, images_u8):
+        x = normalize_on_device(images_u8)
+        return swin_mod.swin_apply(params, swin_cfg, x, dtype=cfg.compute_dtype)
+
+    records = [r for s in args.splits for r in dataset.records(s)]
+    print(f"extracting features for {len(records)} images", flush=True)
+    t0 = time.time()
+    with FeatureStore(args.output, "w") as store:
+        for start in range(0, len(records), args.batch_size):
+            chunk = records[start : start + args.batch_size]
+            imgs = preprocess_batch(
+                [r["img_path"] for r in chunk], swin_cfg.img_size
+            )
+            pad = args.batch_size - len(chunk)
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            feats = np.asarray(extract(params, jnp.asarray(imgs)), np.float32)
+            for r, f in zip(chunk, feats):
+                store.write(r["img_id"], f)
+            done = min(start + args.batch_size, len(records))
+            if done % (args.batch_size * 20) == 0 or done == len(records):
+                rate = done / max(time.time() - t0, 1e-9)
+                print(f"{done}/{len(records)} ({rate:.1f} img/s)", flush=True)
+    return 0
+
+
+def _load_backbone(path: str, cfg):
+    """Accept a full end-to-end checkpoint, a Swin-official file ({'model': ...},
+    reference data_generator.py:76-83), or a native checkpoint."""
+    from ..params.torch_convert import convert_end_to_end, convert_swin, to_jax
+    from ..utils.checkpointing import load_checkpoint
+
+    if path.endswith(".pth"):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if "model" in sd:  # Swin-official pretraining format
+            return to_jax(convert_swin(sd["model"], cfg.swin, prefix=""))
+        return to_jax(convert_end_to_end(sd, cfg))["swin"]
+    payload = load_checkpoint(path)
+    params = payload["params"]
+    return params["swin"] if "swin" in params else params
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

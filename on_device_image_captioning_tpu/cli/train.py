@@ -1,0 +1,352 @@
+"""Training CLI (reference train.py): XE and SCST phases over COCO or VizWiz,
+features-in or end-to-end, with resumable checkpoints.
+
+    python -m on_device_image_captioning_tpu.cli.train \
+        --dataset coco --annotations dataset_coco.json --images_path ... \
+        --save_path ./saves --sched_type custom_warmup_anneal --optim_type radam
+
+Differences from the reference runtime (by design, SURVEY §2.6): no process
+spawning or NCCL — data parallelism is SPMD over jax.devices() (batch sharded on
+the mesh's 'data' axis; XLA inserts the gradient all-reduce), and the dataloader's
+deterministic seeded sharding uses jax.process_index() in multi-host settings.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Image Captioning Training")
+    # model (reference train.py:647-656)
+    p.add_argument("--model_dim", type=int, default=512)
+    p.add_argument("--N_enc", type=int, default=3)
+    p.add_argument("--N_dec", type=int, default=3)
+    p.add_argument("--ff", type=int, default=2048)
+    p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--num_exp_enc_list", type=int, nargs="+",
+                   default=[32, 64, 128, 256, 512])
+    p.add_argument("--num_exp_dec", type=int, default=16)
+    p.add_argument("--img_feature_dim", type=int, default=1536)
+    p.add_argument("--enc_drop", type=float, default=0.1)
+    p.add_argument("--dec_drop", type=float, default=0.1)
+    p.add_argument("--enc_input_drop", type=float, default=0.1)
+    p.add_argument("--dec_input_drop", type=float, default=0.1)
+    p.add_argument("--drop_other", type=float, default=0.1)
+    p.add_argument("--param_config", type=int, default=0, choices=[0, 1, 2])
+    # optimization (reference train.py:657-669)
+    p.add_argument("--optim_type", choices=["adam", "radam"], default="adam")
+    p.add_argument("--sched_type", choices=["annealing", "custom_warmup_anneal"],
+                   default="annealing")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--min_lr", type=float, default=5e-7)
+    p.add_argument("--warmup_iters", type=int, default=4000)
+    p.add_argument("--anneal_coeff", type=float, default=0.8)
+    p.add_argument("--anneal_every_epoch", type=float, default=3.0)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_accum", type=int, default=1)
+    p.add_argument("--num_epochs", type=int, default=5)
+    # phases
+    p.add_argument("--reinforce", action="store_true")
+    p.add_argument("--num_samples", type=int, default=5,
+                   help="SCST samples per image (reference train.py:146-151)")
+    p.add_argument("--scst_max_len", type=int, default=20)
+    # data
+    p.add_argument("--dataset", choices=["coco", "vizwiz"], default="coco")
+    p.add_argument("--annotations", type=str, required=True)
+    p.add_argument("--images_path", type=str, default="")
+    p.add_argument("--features_path", type=str, default=None)
+    p.add_argument("--vocab_path", type=str, default=None)
+    p.add_argument("--is_end_to_end", action="store_true")
+    p.add_argument("--max_seq_len", type=int, default=None)
+    # checkpointing (reference train.py:672-690)
+    p.add_argument("--save_path", type=str, default="./saves/")
+    p.add_argument("--save_every_minutes", type=int, default=25)
+    p.add_argument("--how_many_checkpoints", type=int, default=1)
+    p.add_argument("--pretrain_checkpoint", type=str, default=None)
+    p.add_argument("--backbone_save_path", type=str, default="")
+    p.add_argument("--body_save_path", type=str, default="")
+    # eval / logging
+    p.add_argument("--eval_every_iter", type=int, default=999999)
+    p.add_argument("--eval_beam_sizes", type=int, nargs="+", default=[3])
+    p.add_argument("--eval_parallel_batch_size", type=int, default=8)
+    p.add_argument("--print_every_iter", type=int, default=10)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_model_cfg(args, vocab, max_seq_len):
+    from ..config import (
+        CaptionerConfig,
+        DropConfig,
+        ModelConfig,
+        end_expansionnet_v2_coco,
+        remove_layers,
+    )
+
+    drop = DropConfig(
+        enc=args.enc_drop, dec=args.dec_drop, enc_input=args.enc_input_drop,
+        dec_input=args.dec_input_drop, other=args.drop_other,
+    )
+    cap = CaptionerConfig(
+        d_model=args.model_dim, N_enc=args.N_enc, N_dec=args.N_dec,
+        ff=args.ff, num_heads=args.num_heads,
+        num_exp_enc_list=tuple(args.num_exp_enc_list),
+        num_exp_dec=args.num_exp_dec,
+        vocab_size=len(vocab), max_seq_len=max_seq_len, drop=drop,
+        sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+        unk_idx=vocab.unk_idx,
+        img_feature_dim=args.img_feature_dim,
+    )
+    if args.is_end_to_end:
+        cfg = end_expansionnet_v2_coco(
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+        )
+        cfg = dataclasses.replace(cfg, captioner=cap)
+        return remove_layers(cfg, args.param_config)
+    if args.param_config:  # features-in variant of the layer-removal ablations
+        cap = dataclasses.replace(
+            cap,
+            N_enc=cap.N_enc - (args.param_config >= 1),
+            N_dec=cap.N_dec - (args.param_config >= 2),
+        )
+    return cap
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    from ..data.datasets import load_coco_karpathy, load_vizwiz
+    from ..data.features_io import FeatureStore
+    from ..data.loader import ShardedCaptionLoader
+    from ..data.text import Vocab
+    from ..models import captioner as cap_mod
+    from ..models import end_to_end
+    from ..params import surgery
+    from ..train import radam as radam_mod
+    from ..train import schedules, train_step
+    from ..train.scst import CiderReward
+    from ..utils import checkpointing as ckpt
+    from ..utils.image import normalize_on_device, preprocess_batch
+    from .demo import load_params
+
+    # ---- data -------------------------------------------------------------
+    vocab = Vocab.from_json(args.vocab_path) if args.vocab_path else None
+    if args.dataset == "coco":
+        dataset = load_coco_karpathy(args.annotations, args.images_path, vocab=vocab)
+    else:
+        dataset = load_vizwiz(args.annotations, args.images_path, vocab=vocab)
+    vocab = dataset.vocab
+    max_seq_len = args.max_seq_len or dataset.max_seq_len
+    mode = "image_wise" if args.reinforce else "caption_wise"
+    loader = ShardedCaptionLoader(
+        dataset,
+        array_of_init_seeds=[args.seed + e for e in range(args.num_epochs * 2)],
+        batch_size=args.batch_size,
+        rank=jax.process_index(),
+        num_procs=jax.process_count(),
+        mode=mode,
+    )
+    store = FeatureStore(args.features_path) if args.features_path else None
+
+    # ---- model ------------------------------------------------------------
+    cfg = build_model_cfg(args, vocab, max_seq_len)
+    end2end = args.is_end_to_end
+    cap_cfg = cfg.captioner if end2end else cfg
+    rng = jax.random.PRNGKey(args.seed)
+    if end2end:
+        params = end_to_end.init(rng, cfg)
+    else:
+        params = cap_mod.captioner_init(rng, cfg)
+
+    if args.pretrain_checkpoint:
+        loaded = load_params(args.pretrain_checkpoint, cfg if end2end else None)
+        if args.param_config and end2end:
+            loaded["captioner"] = surgery.remove_layer(
+                loaded["captioner"], args.param_config
+            )
+        params = loaded
+    for partial_path, subtree in [
+        (args.backbone_save_path, "swin"),
+        (args.body_save_path, "captioner"),
+    ]:
+        if partial_path and end2end:
+            src = load_params(partial_path, cfg)
+            params = surgery.partially_load(params, {subtree: src[subtree]})
+
+    # ---- optimizer --------------------------------------------------------
+    import optax
+
+    num_batches = loader.get_num_batches()
+    if args.sched_type == "annealing":
+        sched = schedules.annealing(
+            args.lr, args.warmup_iters, args.anneal_every_epoch, num_batches,
+            args.anneal_coeff,
+        )
+    else:
+        sched = schedules.custom_warmup_anneal(
+            args.lr, args.warmup_iters, args.min_lr, args.anneal_coeff,
+            args.anneal_every_epoch, num_batches,
+        )
+    if args.optim_type == "radam":
+        base_opt = radam_mod.radam(sched, b1=0.9, b2=0.98, eps=1e-9)
+    else:
+        base_opt = optax.adam(sched)
+    opt = train_step.with_grad_accum(base_opt, args.num_accum)
+    state = train_step.init_train_state(params, opt)
+
+    # resume (reference train.py:530-560 + utils/saving_utils.py). Guarded
+    # transition: when the phase flips XE<->RF or the batch size changed, keep
+    # only the weights and reset optimizer + data cursor
+    # (reference train.py:554-597).
+    from flax import serialization
+
+    phase = "rf" if args.reinforce else "xe"
+    payload, info = ckpt.load_most_recent(args.save_path, verbose=True)
+    if payload is not None:
+        restored_params = payload["params"]  # relistified natural pytree
+        same_phase = info == phase
+        same_bs = (
+            payload.get("data_loader_state", {}) or {}
+        ).get("batch_size") == args.batch_size
+        if same_phase and same_bs:
+            opt_state = serialization.from_state_dict(
+                state.opt_state, payload["opt_state"]
+            )
+            state = train_step.TrainState(
+                restored_params, opt_state, jnp.int32(payload["step"])
+            )
+            if payload.get("data_loader_state"):
+                loader.load_state(payload["data_loader_state"])
+        else:
+            print(
+                f"phase/batch-size change ({info}->{phase}): keeping weights, "
+                "resetting optimizer and data cursor",
+                flush=True,
+            )
+            state = train_step.init_train_state(restored_params, opt)
+
+    # ---- steps ------------------------------------------------------------
+    xe_step = jax.jit(
+        train_step.make_xe_step(cfg, opt, end_to_end_model=end2end)
+    )
+    if args.reinforce:
+        scst_step = jax.jit(
+            train_step.make_scst_step(
+                cfg, opt, end_to_end_model=end2end, num_samples=args.num_samples
+            )
+        )
+        train_records = dataset.records("train")
+        reward_fn = CiderReward([r["captions"] for r in train_records])
+
+        from ..decode import sampling
+
+        @jax.jit
+        def sample_batch(params, enc_input, rng):
+            if end2end:
+                enc = end_to_end.forward_enc(params, cfg, enc_input)
+            else:
+                enc = cap_mod.forward_enc(params, cfg, enc_input)
+            return sampling.sample(
+                params["captioner"] if end2end else params, cap_cfg, enc,
+                args.num_samples, args.scst_max_len, rng,
+                vocab.sos_idx, vocab.eos_idx,
+            )
+
+    def materialize_enc_input(batch):
+        if end2end:
+            imgs = preprocess_batch(
+                loader.image_paths(batch["img_idxs"]), cfg.swin.img_size
+            )
+            return normalize_on_device(jnp.asarray(imgs))
+        feats, pads = store.read_batch(loader.image_ids(batch["img_idxs"]))
+        return jnp.asarray(feats)
+
+    # ---- loop (reference train.py:47-302) ---------------------------------
+    total_iters = args.num_epochs * num_batches
+    start_iter = int(state.step)
+    last_save = time.time()
+    running = []
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    print(
+        f"training: {total_iters} iters ({num_batches}/epoch), "
+        f"{'end-to-end' if end2end else 'features'}, "
+        f"{'SCST' if args.reinforce else 'XE'}",
+        flush=True,
+    )
+    for it in range(start_iter, total_iters):
+        batch = loader.get_next_batch(max_seq_len)
+        step_rng, sub = jax.random.split(step_rng)
+        if not args.reinforce:
+            arrays = {
+                "enc_input": materialize_enc_input(batch),
+                "captions": jnp.asarray(batch["captions"], jnp.int32),
+            }
+            state, metrics = xe_step(state, arrays, sub)
+            running.append(float(metrics["loss"]))
+        else:
+            arrays = {"enc_input": materialize_enc_input(batch)}
+            sampled = sample_batch(state.params, arrays["enc_input"], sub)
+            rewards = reward_fn(
+                np.asarray(sampled.tokens), np.asarray(sampled.lengths),
+                batch["img_idxs"], vocab,
+            )
+            state, metrics = scst_step(
+                state, arrays,
+                {"tokens": sampled.tokens, "lengths": sampled.lengths},
+                jnp.asarray(rewards),
+            )
+            running.append(float(metrics["reward"]))
+
+        if (it + 1) % args.print_every_iter == 0:
+            tag = "reward" if args.reinforce else "loss"
+            print(
+                f"it {it + 1}/{total_iters} epoch {loader.get_epoch_it()} "
+                f"{tag} {np.mean(running):.4f} lr {float(sched(it)):.3e}",
+                flush=True,
+            )
+            running = []
+
+        if (time.time() - last_save) / 60 >= args.save_every_minutes or (
+            it + 1
+        ) == total_iters:
+            if jax.process_index() == 0:
+                ckpt.save_checkpoint(
+                    args.save_path, state.params, state.opt_state, int(state.step),
+                    data_loader_state=loader.save_state(),
+                    additional_info="rf" if args.reinforce else "xe",
+                    num_max_checkpoints=args.how_many_checkpoints,
+                    epoch_it=loader.get_epoch_it(),
+                    batch_it=loader.get_batch_it(),
+                    batch_size=loader.get_batch_size(),
+                    verbose=True,
+                )
+            last_save = time.time()
+
+        if (it + 1) % args.eval_every_iter == 0:
+            from .evaluate import evaluate_split
+
+            for beam in args.eval_beam_sizes:
+                scores, _ = evaluate_split(
+                    state.params, cfg, dataset, "val", beam,
+                    args.eval_parallel_batch_size, max_seq_len,
+                    args.features_path,
+                )
+                print(f"[eval beam {beam}] {scores}", flush=True)
+
+    if store:
+        store.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -56,8 +56,65 @@ def beam_search(
     rng: Optional[jax.Array] = None,
     dtype=None,
 ) -> BeamResult:
-    """enc_output: (B, S_enc, d_model). Jittable; all shapes static."""
-    b = enc_output.shape[0]
+    """Single-model beam search. enc_output: (B, S_enc, d_model). Jittable."""
+    state = dc.init_state(params, cfg, enc_output, decode_cfg.max_seq_len)
+
+    def step_fn(state, tokens, pos):
+        return dc.dec_step(params, cfg, state, tokens, pos, dtype)
+
+    return beam_loop(
+        step_fn, state, enc_output.shape[0], decode_cfg, rng
+    )
+
+
+def ensemble_beam_search(
+    params_list,
+    cfg: CaptionerConfig,
+    enc_outputs,
+    decode_cfg: DecodeConfig,
+    rng: Optional[jax.Array] = None,
+    dtype=None,
+) -> BeamResult:
+    """Ensemble decode: per-model decoder states; the step log-probs are
+    log(mean_i softmax(logits_i)) (reference
+    models/ensemble_captioning_model.py:55-84). `enc_outputs` is one encoder
+    output per model (each model encodes with its own weights, reference :48-53).
+    """
+    states = [
+        dc.init_state(p, cfg, e, decode_cfg.max_seq_len)
+        for p, e in zip(params_list, enc_outputs)
+    ]
+
+    def step_fn(states, tokens, pos):
+        logps, new_states = [], []
+        for p, s in zip(params_list, states):
+            lp, ns = dc.dec_step(p, cfg, s, tokens, pos, dtype)
+            logps.append(lp)
+            new_states.append(ns)
+        avg = jnp.log(
+            jnp.mean(jnp.exp(jnp.stack(logps, axis=0)), axis=0)
+        )
+        return avg, new_states
+
+    return beam_loop(
+        step_fn, states, enc_outputs[0].shape[0], decode_cfg, rng
+    )
+
+
+def _gather_rows(state, indices: jnp.ndarray):
+    """Reorder the leading batch axis of every array leaf (beam reshuffle)."""
+    return jax.tree.map(lambda a: jnp.take(a, indices, axis=0), state)
+
+
+def beam_loop(
+    step_fn,
+    state,
+    b: int,
+    decode_cfg: DecodeConfig,
+    rng: Optional[jax.Array] = None,
+) -> BeamResult:
+    """Core fixed-shape beam loop over an opaque decoder-state pytree whose array
+    leaves all have the flattened (batch*beam) leading axis."""
     k = decode_cfg.beam_size
     L = decode_cfg.max_seq_len
     sample = decode_cfg.sample_or_max == "sample"
@@ -66,9 +123,8 @@ def beam_search(
         rng = jax.random.PRNGKey(0)
 
     # ---- step 1: expand SOS into beam_size beams (reference :241-271) ----
-    state = dc.init_state(params, cfg, enc_output, L)
     sos_tok = jnp.full((b,), sos, jnp.int32)
-    logp0, state = dc.dec_step(params, cfg, state, sos_tok, jnp.int32(0), dtype)
+    logp0, state = step_fn(state, sos_tok, jnp.int32(0))
     rng, sub = jax.random.split(rng)
     first_vals, first_idx = _candidates(logp0, k, sample, sub)  # (B, K)
 
@@ -81,7 +137,7 @@ def beam_search(
 
     # replicate caches per beam: flattened (batch, beam) row order
     beam_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
-    state = dc.gather_beams(state, beam_idx)
+    state = _gather_rows(state, beam_idx)
 
     class Carry(NamedTuple):
         t: jnp.ndarray
@@ -90,7 +146,7 @@ def beam_search(
         cumul: jnp.ndarray
         num_elem: jnp.ndarray
         finished: jnp.ndarray
-        state: dc.DecState
+        state: object
         rng: jax.Array
 
     def cond(c: Carry):
@@ -100,9 +156,7 @@ def beam_search(
     def body(c: Carry):
         t = c.t
         last = jax.lax.dynamic_index_in_dim(c.tokens, t - 1, axis=2, keepdims=False)
-        logp, state = dc.dec_step(
-            params, cfg, c.state, last.reshape(b * k), t - 1, dtype
-        )  # (B*K, V)
+        logp, state = step_fn(c.state, last.reshape(b * k), t - 1)  # (B*K, V)
         rng, sub = jax.random.split(c.rng)
         cand_vals, cand_idx = _candidates(logp, k, sample, sub)
         cand_vals = cand_vals.reshape(b, k, k)
@@ -153,7 +207,7 @@ def beam_search(
         flat_gather = (
             jnp.arange(b, dtype=jnp.int32)[:, None] * k + which_seq
         ).reshape(b * k)
-        new_state = dc.gather_beams(state, flat_gather)
+        new_state = _gather_rows(state, flat_gather)
 
         return Carry(
             t + 1, new_tokens, new_logprobs, new_cumul, new_num_elem, new_finished,

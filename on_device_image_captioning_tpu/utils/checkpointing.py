@@ -85,19 +85,32 @@ def save_checkpoint(
     return path
 
 
+def _relistify(tree):
+    """Invert to_state_dict's list->{'0': ...} encoding so layer stacks index as
+    lists again when no template is available."""
+    if isinstance(tree, dict):
+        out = {k: _relistify(v) for k, v in tree.items()}
+        if out and all(k.isdigit() for k in out):
+            return [out[str(i)] for i in range(len(out))]
+        return out
+    return tree
+
+
 def load_checkpoint(path: str, template: Optional[Any] = None) -> Dict:
     """Load a checkpoint file. With `template` (a {'params':..., 'opt_state':...}
-    pytree), leaves are restored to the template's structure/dtypes."""
+    pytree), leaves are restored to the template's structure/dtypes; without one,
+    integer-keyed dicts are converted back to lists."""
     from flax import serialization
 
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    if template is not None:
-        for key in ("params", "opt_state"):
-            if template.get(key) is not None and payload.get(key) is not None:
-                payload[key] = serialization.from_state_dict(
-                    template[key], payload[key]
-                )
+    for key in ("params", "opt_state"):
+        if template is not None and template.get(key) is not None and payload.get(key) is not None:
+            payload[key] = serialization.from_state_dict(template[key], payload[key])
+    if template is None and payload.get("params") is not None:
+        payload["params"] = _relistify(payload["params"])
+        # opt_state stays in raw state-dict form: its NamedTuple structure can
+        # only be rebuilt against a template via from_state_dict
     return payload
 
 

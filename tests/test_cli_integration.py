@@ -1,0 +1,115 @@
+"""End-to-end CLI integration on a synthetic tiny corpus: feature-store creation,
+XE training with checkpointing, SCST training resume, and evaluation — the
+reference's 6-phase recipe compressed to smoke scale (features phases)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+FEAT_DIM = 24
+NUM_IMAGES = 12
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    words = ["cat", "dog", "ball", "red", "runs", "jumps", "big", "small", "a", "the"]
+    items = []
+    for i in range(NUM_IMAGES):
+        split = "train" if i < 8 else ("val" if i < 10 else "test")
+        items.append(
+            {
+                "cocoid": i,
+                "filepath": "val2014",
+                "filename": f"img{i}.jpg",
+                "split": split,
+                "sentences": [
+                    {"raw": " ".join(rng.choice(words, size=5))} for _ in range(3)
+                ],
+            }
+        )
+    ann = root / "dataset_coco.json"
+    ann.write_text(json.dumps({"images": items}))
+
+    from on_device_image_captioning_tpu.data.features_io import FeatureStore
+
+    feat = root / "features.hdf5"
+    with FeatureStore(str(feat), "w") as store:
+        for i in range(NUM_IMAGES):
+            store.write(i, rng.standard_normal((9, FEAT_DIM), dtype=np.float32))
+    return {"ann": str(ann), "features": str(feat), "root": str(root)}
+
+
+TINY_FLAGS = [
+    "--model_dim", "32", "--N_enc", "2", "--N_dec", "2", "--ff", "64",
+    "--num_heads", "4", "--num_exp_enc_list", "4", "8", "--num_exp_dec", "4",
+    "--img_feature_dim", str(FEAT_DIM),
+]
+
+
+def test_train_xe_then_scst_then_evaluate(corpus, tmp_path):
+    from on_device_image_captioning_tpu.cli import evaluate as eval_cli
+    from on_device_image_captioning_tpu.cli import train as train_cli
+
+    save = str(tmp_path / "saves") + "/"
+    common = [
+        "--dataset", "coco", "--annotations", corpus["ann"],
+        "--features_path", corpus["features"], "--save_path", save,
+        "--batch_size", "4", "--print_every_iter", "2",
+        "--num_epochs", "1", "--seed", "7", "--max_seq_len", "12",
+        *TINY_FLAGS,
+    ]
+    # XE phase
+    rc = train_cli.main(common + ["--optim_type", "radam",
+                                  "--sched_type", "custom_warmup_anneal"])
+    assert rc == 0
+    ckpts = [f for f in os.listdir(save) if f.startswith("checkpoint_")]
+    assert len(ckpts) == 1
+
+    # SCST phase resumes from the XE checkpoint (weights kept, reference
+    # train.py:554-597 phase flip)
+    rc = train_cli.main(
+        common + ["--reinforce", "--num_samples", "3", "--scst_max_len", "8",
+                  "--num_epochs", "2"]
+    )
+    assert rc == 0
+
+    # evaluation CLI over the features model
+    newest = max(
+        (os.path.join(save, f) for f in os.listdir(save)
+         if f.startswith("checkpoint_")),
+        key=os.path.getmtime,
+    )
+    rc = eval_cli.main(
+        [
+            "--dataset", "coco", "--annotations", corpus["ann"],
+            "--features_path", corpus["features"], "--load_path", newest,
+            "--split", "test", "--beam_sizes", "2", "--batch_size", "2",
+            "--max_seq_len", "12", "--eval_loss", *TINY_FLAGS,
+        ]
+    )
+    assert rc == 0
+
+
+def test_generate_features_cli(corpus, tmp_path):
+    """Feature-generation over real (synthetic) JPEGs with the full Swin config is
+    too slow for CI; instead drive the FeatureStore write path it uses plus the
+    image preprocessing helper on generated files."""
+    from PIL import Image
+
+    from on_device_image_captioning_tpu.utils.image import preprocess_batch
+
+    img_dir = tmp_path / "val2014" / "img"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+        p = img_dir / f"img{i}.jpg"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    batch = preprocess_batch(paths, 32)
+    assert batch.shape == (3, 32, 32, 3)
+    assert batch.dtype == np.uint8
