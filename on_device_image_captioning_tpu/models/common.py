@@ -27,6 +27,10 @@ def linear_init(rng, d_in: int, d_out: int, scheme: str = "xavier_uniform"):
 
 
 def linear(p, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized node (deploy/quantization.py)
+        from ..deploy.quantization import quantized_matmul
+
+        return quantized_matmul(p, x)
     w, b = p["w"], p["b"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)

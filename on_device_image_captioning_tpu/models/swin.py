@@ -195,14 +195,19 @@ def window_attention(
     dk = c // num_heads
     scale = qk_scale if qk_scale is not None else dk**-0.5
 
-    w = p["qkv"]["w"]
-    if dtype is not None:
-        x_in, w = x.astype(dtype), w.astype(dtype)
+    if "w_q" in p["qkv"]:  # int8-quantized (deploy/quantization.py)
+        from ..deploy.quantization import quantized_matmul
+
+        qkv = quantized_matmul(p["qkv"], x)
     else:
-        x_in = x
-    qkv = jnp.dot(x_in, w, preferred_element_type=jnp.float32)
-    if "b" in p["qkv"]:
-        qkv = qkv + p["qkv"]["b"].astype(qkv.dtype)
+        w = p["qkv"]["w"]
+        if dtype is not None:
+            x_in, w = x.astype(dtype), w.astype(dtype)
+        else:
+            x_in = x
+        qkv = jnp.dot(x_in, w, preferred_element_type=jnp.float32)
+        if "b" in p["qkv"]:
+            qkv = qkv + p["qkv"]["b"].astype(qkv.dtype)
     qkv = qkv.reshape(bw, n, 3, num_heads, dk).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # (bw, h, n, dk)
 
@@ -302,6 +307,10 @@ def patch_merging(p, cfg: SwinConfig, x: jnp.ndarray, stage: int, dtype=None):
     x3 = x[:, 1::2, 1::2]
     x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, l // 4, 4 * c)
     x = layernorm(p["norm"], x, cfg.ln_eps)
+    if "w_q" in p["reduction"]:
+        from ..deploy.quantization import quantized_matmul
+
+        return quantized_matmul(p["reduction"], x)
     w = p["reduction"]["w"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)

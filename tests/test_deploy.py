@@ -1,0 +1,151 @@
+"""Deployment-layer tests: quantization correctness/dispatch, pruning + sparse
+checkpoints, analytic FLOPs sanity, AOT engine build + serialized artifact."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from on_device_image_captioning_tpu.config import (
+    CaptionerConfig,
+    DecodeConfig,
+    ModelConfig,
+    SwinConfig,
+)
+from on_device_image_captioning_tpu.deploy import analysis, pruning
+from on_device_image_captioning_tpu.deploy.quantization import (
+    fake_quant,
+    quantize_decoder,
+    quantize_encoder,
+    quantize_tree,
+    quantized_size_bytes,
+)
+from on_device_image_captioning_tpu.models import captioner as cap
+from on_device_image_captioning_tpu.models import end_to_end
+
+TINY_CAP = CaptionerConfig(
+    d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
+    num_exp_dec=4, vocab_size=50, max_seq_len=20, img_feature_dim=24,
+    sos_idx=2, eos_idx=3,
+)
+TINY_E2E = ModelConfig(
+    swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+                    num_heads=(2, 4), window_size=4),
+    captioner=CaptionerConfig(
+        d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
+        num_exp_dec=4, vocab_size=50, max_seq_len=20, img_feature_dim=32,
+        sos_idx=2, eos_idx=3,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return cap.captioner_init(jax.random.PRNGKey(0), TINY_CAP)
+
+
+def _forward(params):
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 7, TINY_CAP.img_feature_dim), dtype=np.float32)
+    toks = rng.integers(0, 50, (2, 6)).astype(np.int32)
+    return np.asarray(cap.forward(params, TINY_CAP, feats, toks, apply_log_softmax=True))
+
+
+def test_quantized_forward_close_and_smaller(tiny_params):
+    base = _forward(tiny_params)
+    for mode in ["w8", "w8a8"]:
+        qp = quantize_tree(tiny_params, mode)
+        out = _forward(qp)
+        # int8 quantization error stays small on log-probs
+        assert np.mean(np.abs(out - base)) < 0.15, mode
+        assert quantized_size_bytes(qp) < 0.5 * quantized_size_bytes(tiny_params)
+
+
+def test_quantize_halves_filters(tiny_params):
+    enc_q = quantize_encoder(tiny_params)
+    assert "w_q" in enc_q["encoders"][0]["ff"]["linear_1"]
+    assert "w" in enc_q["decoders"][0]["ff"]["linear_1"]  # untouched
+    dec_q = quantize_decoder(tiny_params)
+    assert "w_q" in dec_q["decoders"][0]["ff"]["linear_1"]
+    assert "w" in dec_q["encoders"][0]["ff"]["linear_1"]
+
+
+def test_quantized_beam_search_runs(tiny_params):
+    from on_device_image_captioning_tpu.decode import beam_search as bs
+
+    qp = quantize_tree(tiny_params, "w8")
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((1, 7, TINY_CAP.img_feature_dim), dtype=np.float32)
+    enc = cap.forward_enc(qp, TINY_CAP, feats)
+    res = bs.beam_search(
+        qp, TINY_CAP, enc,
+        DecodeConfig(beam_size=3, how_many_outputs=1, max_seq_len=10,
+                     sos_idx=2, eos_idx=3),
+    )
+    caps, _ = bs.captions_from_result(res)
+    assert caps[0][0][0] == 2
+
+
+def test_fake_quant_straight_through():
+    x = jnp.linspace(-1, 1, 16)
+    g = jax.grad(lambda v: jnp.sum(fake_quant(v) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # STE: gradient flows as if identity (2x for x^2)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2 * fake_quant(x)), atol=1e-6)
+
+
+def test_pruning_rounds_and_sparse_roundtrip(tiny_params, tmp_path):
+    p1 = pruning.global_l1_prune(tiny_params, 0.33)
+    rep1 = pruning.sparsity_report(p1)
+    assert 0.25 < rep1["GLOBAL"] < 0.45
+    p2 = pruning.global_l1_prune(p1, 0.33)
+    rep2 = pruning.sparsity_report(p2)
+    assert rep2["GLOBAL"] > rep1["GLOBAL"]  # rounds compound
+
+    path = str(tmp_path / "sparse.npz")
+    pruning.save_sparse(path, p2)
+    restored = pruning.load_sparse(path, tiny_params)
+    from on_device_image_captioning_tpu.params.surgery import flatten_with_paths
+
+    for (pa, a), (pb, b) in zip(
+        flatten_with_paths(p2), flatten_with_paths(restored)
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pruned model still runs
+    out = _forward(p2)
+    assert np.isfinite(out).all()
+
+
+def test_analysis_counts():
+    params = cap.captioner_init(jax.random.PRNGKey(0), TINY_CAP)
+    n = analysis.param_count(params)
+    assert n > 0
+    # the full model config matches the reference's published parameter count
+    full = ModelConfig()
+    flops = analysis.beam_search_flops(full, beam=5, steps=20)
+    ref_strategy = analysis.beam_search_flops(full, beam=5, steps=20,
+                                              incremental=False)
+    assert flops["total"] < ref_strategy["total"]
+    # reference reports 158 GFLOPs for the full beam-5 call (MAC convention,
+    # benchmarking/plotting.py:32) — our full-prefix accounting lands in range
+    assert 0.5e11 < ref_strategy["total"] < 3e11
+
+
+def test_aot_engine_and_artifact(tmp_path):
+    from on_device_image_captioning_tpu.deploy import aot
+
+    params = end_to_end.init(jax.random.PRNGKey(0), TINY_E2E)
+    dcfg = DecodeConfig(beam_size=2, how_many_outputs=1, max_seq_len=8,
+                        sos_idx=2, eos_idx=3)
+    compiled, cost = aot.build_caption_engine(params, TINY_E2E, dcfg, batch_size=2)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    toks, lengths = compiled(params, imgs)
+    assert toks.shape == (2, 8)
+
+    art = str(tmp_path / "engine")
+    aot.export_artifact(art, params, TINY_E2E, dcfg, batch_size=2)
+    call, loaded_params = aot.load_artifact(art)
+    toks2, lengths2 = call(loaded_params, imgs)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
