@@ -46,6 +46,9 @@ class SwinConfig:
     ape: bool = False
     patch_norm: bool = True
     ln_eps: float = 1e-5
+    # 'xla' (batched dot_general, default) or 'pallas' (fused single-pass kernel,
+    # ops/window_attention.py); numerically equivalent, pick by benchmark
+    attention_impl: str = "xla"
 
     @property
     def num_layers(self) -> int:

@@ -186,6 +186,7 @@ def window_attention(
     proj_drop: float,
     train: bool,
     dtype=None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """W-MSA with relative position bias (reference models/swin_transformer_mod.py:222-272).
 
@@ -209,22 +210,38 @@ def window_attention(
         if "b" in p["qkv"]:
             qkv = qkv + p["qkv"]["b"].astype(qkv.dtype)
     qkv = qkv.reshape(bw, n, 3, num_heads, dk).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # (bw, h, n, dk)
-
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     idx = jnp.asarray(relative_position_index(window).reshape(-1))
     bias = jnp.take(p["rel_bias"], idx, axis=0).reshape(n, n, num_heads)
-    attn = attn + bias.transpose(2, 0, 1)[None]
-    if attn_mask is not None:
-        nw = attn_mask.shape[0]
-        attn = attn.reshape(bw // nw, nw, num_heads, n, n) + attn_mask[None, :, None]
-        attn = attn.reshape(bw, num_heads, n, n)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-    attn = dropout(rngs.next(), attn_drop, attn, train)
+    bias = bias.transpose(2, 0, 1)  # (h, n, n)
 
-    out = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
+    if impl == "pallas" and not (train and attn_drop > 0.0):
+        from ..ops.window_attention import window_attention_pallas
+
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        nw = attn_mask.shape[0] if attn_mask is not None else 1
+        out = window_attention_pallas(
+            q, k, v, bias, attn_mask, float(scale), nw
+        )  # (bw, h, n, dk)
+    else:
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # (bw, h, n, dk)
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        )
+        attn = attn + bias[None]
+        if attn_mask is not None:
+            nw = attn_mask.shape[0]
+            attn = (
+                attn.reshape(bw // nw, nw, num_heads, n, n)
+                + attn_mask[None, :, None]
+            )
+            attn = attn.reshape(bw, num_heads, n, n)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = dropout(rngs.next(), attn_drop, attn, train)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+
     out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
     out = linear(p["proj"], out, dtype)
     return dropout(rngs.next(), proj_drop, out, train)
@@ -268,6 +285,7 @@ def swin_block(
         cfg.drop_rate,
         train,
         dtype,
+        impl=cfg.attention_impl,
     )
     x = _window_reverse(x, window, res, res)
     if shift > 0:

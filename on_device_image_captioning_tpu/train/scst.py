@@ -21,12 +21,31 @@ from ..evalcap.cider import CiderCorpus
 
 
 class CiderReward:
-    def __init__(self, training_references: Sequence[List[str]], eos_token: str = "EOS"):
+    def __init__(
+        self,
+        training_references: Sequence[List[str]],
+        eos_token: str = "EOS",
+        use_native: str = "auto",
+    ):
+        """use_native: 'auto' picks the C++ scorer (native/cider.cc) when the
+        toolchain built it — ~10x less host time per SCST step; 'never' forces
+        the Python scorer (identical numerics, see tests/test_native_cider.py)."""
         processed = [
             [clean_caption(c) + " " + eos_token for c in refs]
             for refs in training_references
         ]
-        self.corpus = CiderCorpus(processed)
+        self.corpus = None
+        if use_native in ("auto", "always"):
+            try:
+                from ..evalcap.cider_native import NativeCiderCorpus
+
+                if NativeCiderCorpus.available():
+                    self.corpus = NativeCiderCorpus(processed)
+            except Exception:
+                if use_native == "always":
+                    raise
+        if self.corpus is None:
+            self.corpus = CiderCorpus(processed)
         self.eos_token = eos_token
 
     def __call__(

@@ -1,0 +1,83 @@
+"""Pallas kernel equivalence tests (interpreter mode on CPU): fused window
+attention vs the XLA path, and the fused int8 matmul vs the unfused reference."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from on_device_image_captioning_tpu.config import SwinConfig
+from on_device_image_captioning_tpu.models import swin
+from on_device_image_captioning_tpu.ops.quant_matmul import quantized_matmul_pallas
+from on_device_image_captioning_tpu.ops.window_attention import (
+    window_attention_pallas,
+)
+
+TINY = SwinConfig(
+    img_size=32, patch_size=4, embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+    window_size=4,
+)
+
+
+def test_window_attention_kernel_matches_xla():
+    rng = np.random.default_rng(0)
+    bw, h, n, dk = 6, 2, 16, 8
+    nw = 3
+    q = rng.standard_normal((bw, h, n, dk), dtype=np.float32)
+    k = rng.standard_normal((bw, h, n, dk), dtype=np.float32)
+    v = rng.standard_normal((bw, h, n, dk), dtype=np.float32)
+    bias = rng.standard_normal((h, n, n), dtype=np.float32)
+    mask = np.where(rng.random((nw, n, n)) > 0.8, -100.0, 0.0).astype(np.float32)
+    scale = dk**-0.5
+
+    got = np.asarray(
+        window_attention_pallas(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+            jnp.asarray(mask), scale, nw,
+        )
+    )
+
+    # XLA reference
+    attn = np.einsum("bhnd,bhmd->bhnm", q * scale, k) + bias[None]
+    attn = attn.reshape(bw // nw, nw, h, n, n) + mask[None, :, None]
+    attn = attn.reshape(bw, h, n, n)
+    attn = np.asarray(jax.nn.softmax(jnp.asarray(attn), axis=-1))
+    want = np.einsum("bhnm,bhmd->bhnd", attn, v)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_swin_apply_same_output_both_impls(impl):
+    params = swin.swin_init(jax.random.PRNGKey(0), TINY)
+    imgs = np.random.default_rng(0).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    base = np.asarray(swin.swin_apply(params, TINY, imgs))
+    cfg2 = dataclasses.replace(TINY, attention_impl=impl)
+    got = np.asarray(swin.swin_apply(params, cfg2, imgs))
+    np.testing.assert_allclose(got, base, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("with_bias", [True, False])
+def test_quantized_matmul_kernel_matches_unfused(with_bias):
+    rng = np.random.default_rng(1)
+    m, k, n = 20, 64, 150  # deliberately unaligned: exercises padding
+    x = rng.standard_normal((m, k), dtype=np.float32)
+    w = rng.standard_normal((k, n), dtype=np.float32)
+    scale = np.abs(w).max(axis=0) / 127.0
+    w_q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    b = rng.standard_normal(n).astype(np.float32) if with_bias else None
+
+    got = np.asarray(
+        quantized_matmul_pallas(
+            jnp.asarray(x), jnp.asarray(w_q), jnp.asarray(scale),
+            jnp.asarray(b) if b is not None else None,
+        )
+    )
+    # unfused reference (same math as deploy/quantization.quantized_matmul w8a8)
+    x_scale = max(np.abs(x).max(), 1e-8) / 127.0
+    x_q = np.clip(np.rint(x / x_scale), -127, 127).astype(np.int32)
+    want = (x_q @ w_q.astype(np.int32)).astype(np.float32) * (x_scale * scale)
+    if b is not None:
+        want = want + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
