@@ -49,27 +49,49 @@ def evaluate_split(
     vocab = dataset.vocab
     records = dataset.records(split)
     end2end = features_path is None
+    ensemble = isinstance(params, (list, tuple))
     dcfg = DecodeConfig(
         beam_size=beam_size, how_many_outputs=1, max_seq_len=max_seq_len,
         sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx,
     )
 
     if end2end:
+        if ensemble:
 
-        @jax.jit
-        def decode_batch(params, images_u8):
-            x = normalize_on_device(images_u8)
-            enc = end_to_end.forward_enc(params, cfg, x)
-            return bs.beam_search(
-                params["captioner"], cfg.captioner, enc, dcfg, dtype=cfg.compute_dtype
-            )
+            @jax.jit
+            def decode_batch(params_list, images_u8):
+                x = normalize_on_device(images_u8)
+                encs = [end_to_end.forward_enc(p, cfg, x) for p in params_list]
+                return bs.ensemble_beam_search(
+                    [p["captioner"] for p in params_list], cfg.captioner, encs,
+                    dcfg, dtype=cfg.compute_dtype,
+                )
+
+        else:
+
+            @jax.jit
+            def decode_batch(params, images_u8):
+                x = normalize_on_device(images_u8)
+                enc = end_to_end.forward_enc(params, cfg, x)
+                return bs.beam_search(
+                    params["captioner"], cfg.captioner, enc, dcfg,
+                    dtype=cfg.compute_dtype,
+                )
 
     else:
+        if ensemble:
 
-        @jax.jit
-        def decode_batch(params, feats):
-            enc = cap_mod.forward_enc(params, cfg, feats)
-            return bs.beam_search(params, cfg, enc, dcfg)
+            @jax.jit
+            def decode_batch(params_list, feats):
+                encs = [cap_mod.forward_enc(p, cfg, feats) for p in params_list]
+                return bs.ensemble_beam_search(params_list, cfg, encs, dcfg)
+
+        else:
+
+            @jax.jit
+            def decode_batch(params, feats):
+                enc = cap_mod.forward_enc(params, cfg, feats)
+                return bs.beam_search(params, cfg, enc, dcfg)
 
     store = FeatureStore(features_path) if features_path else None
     predictions = {}
@@ -182,6 +204,8 @@ def main(argv=None):
     parser.add_argument("--num_exp_dec", type=int, default=16)
     parser.add_argument("--img_feature_dim", type=int, default=1536)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--quantize", choices=["none", "w8", "w8a8"],
+                        default="none")
     parser.add_argument("--eval_loss", action="store_true")
     args = parser.parse_args(argv)
 
@@ -207,10 +231,8 @@ def main(argv=None):
                 N_enc=cfg.N_enc - (args.param_config >= 1),
                 N_dec=cfg.N_dec - (args.param_config >= 2),
             )
-        if len(args.load_path) > 1:
-            raise NotImplementedError("ensemble over features checkpoints: use "
-                                      "decode.ensemble_beam_search directly")
-        params = load_checkpoint(args.load_path[0])["params"]
+        params = [load_checkpoint(lp)["params"] for lp in args.load_path]
+        params = params[0] if len(params) == 1 else params
     else:
         cfg = end_expansionnet_v2_coco(
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
@@ -219,11 +241,16 @@ def main(argv=None):
             cfg, captioner=dataclasses.replace(cap, img_feature_dim=1536)
         )
         cfg = remove_layers(cfg, args.param_config)
-        if len(args.load_path) > 1:
-            raise NotImplementedError(
-                "ensemble evaluation CLI wiring lands with ensemble_beam_search"
-            )
-        params = load_params(args.load_path[0], cfg)
+        params = [load_params(lp, cfg) for lp in args.load_path]
+        params = params[0] if len(params) == 1 else params
+
+    if args.quantize != "none":
+        from ..deploy.quantization import quantize_tree
+
+        if isinstance(params, list):
+            params = [quantize_tree(p, args.quantize) for p in params]
+        else:
+            params = quantize_tree(params, args.quantize)
 
     for beam in args.beam_sizes:
         print(f"=== beam size {beam} ===", flush=True)

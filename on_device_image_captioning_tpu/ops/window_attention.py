@@ -12,6 +12,13 @@ window-id = program_id % num_windows via the BlockSpec index map.
 
 The fallback/default XLA path remains in models/swin.py; SwinConfig selects the
 implementation (`attention_impl`), and tests assert elementwise equivalence.
+
+Measured on TPU v5e (Swin-L/384, batch 8, bf16, scalar-output timing so tunnel
+transfer doesn't pollute): XLA 72.7 ms vs this kernel 89.9 ms for the full
+backbone. XLA's batched dot_general keeps the MXU busier than this one-window-
+per-program grid (contraction dim is only head_dim=32), so 'xla' stays the
+default; the kernel remains as the correctness-verified baseline for a future
+multi-window-per-program variant.
 """
 from __future__ import annotations
 

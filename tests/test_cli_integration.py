@@ -113,3 +113,56 @@ def test_generate_features_cli(corpus, tmp_path):
     batch = preprocess_batch(paths, 32)
     assert batch.shape == (3, 32, 32, 3)
     assert batch.dtype == np.uint8
+
+
+def test_evaluate_ensemble_and_quantized(corpus, tmp_path):
+    """Ensemble (two checkpoints) and int8-quantized evaluation through the CLI."""
+    import jax
+
+    from on_device_image_captioning_tpu.cli import evaluate as eval_cli
+    from on_device_image_captioning_tpu.config import CaptionerConfig
+    from on_device_image_captioning_tpu.models import captioner as cap_mod
+    from on_device_image_captioning_tpu.utils.checkpointing import save_checkpoint
+
+    cfg = CaptionerConfig(
+        d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
+        num_exp_dec=4, vocab_size=10000, max_seq_len=12, img_feature_dim=FEAT_DIM,
+    )
+    paths = []
+    for seed in (0, 1):
+        params = cap_mod.captioner_init(jax.random.PRNGKey(seed), cfg)
+        d = tmp_path / f"m{seed}"
+        save_checkpoint(str(d), params, additional_info="xe")
+        paths.append(
+            str(next(p for p in d.iterdir() if p.name.startswith("checkpoint_")))
+        )
+
+    # NOTE: vocab built from the synthetic corpus is small; rebuild cfg via CLI
+    # flags and use the corpus vocab size by loading without --vocab_path
+    args = [
+        "--dataset", "coco", "--annotations", corpus["ann"],
+        "--features_path", corpus["features"], "--split", "test",
+        "--beam_sizes", "2", "--batch_size", "2", "--max_seq_len", "12",
+        *TINY_FLAGS,
+    ]
+    # single quantized
+    params = cap_mod.captioner_init(jax.random.PRNGKey(3), cfg)
+    # vocab size must match the dataset vocab; regenerate with correct size
+    from on_device_image_captioning_tpu.data.datasets import load_coco_karpathy
+
+    ds = load_coco_karpathy(corpus["ann"], dict_min_occurrences=1)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, vocab_size=len(ds.vocab))
+    params = cap_mod.captioner_init(jax.random.PRNGKey(3), cfg2)
+    d = tmp_path / "mq"
+    save_checkpoint(str(d), params, additional_info="xe")
+    qpath = str(next(p for p in d.iterdir() if p.name.startswith("checkpoint_")))
+    assert eval_cli.main(args + ["--load_path", qpath, "--quantize", "w8"]) == 0
+
+    # ensemble of two checkpoints
+    params_b = cap_mod.captioner_init(jax.random.PRNGKey(4), cfg2)
+    db = tmp_path / "mb"
+    save_checkpoint(str(db), params_b, additional_info="xe")
+    bpath = str(next(p for p in db.iterdir() if p.name.startswith("checkpoint_")))
+    assert eval_cli.main(args + ["--load_path", qpath, bpath]) == 0
