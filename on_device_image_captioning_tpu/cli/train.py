@@ -79,6 +79,10 @@ def parse_args(argv=None):
     p.add_argument("--print_every_iter", type=int, default=10)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the Swin blocks (the reference's "
+                        "swin_use_checkpoint flag)")
+    p.add_argument("--metrics_jsonl", type=str, default=None)
     return p.parse_args(argv)
 
 
@@ -237,7 +241,8 @@ def main(argv=None):
 
     # ---- steps ------------------------------------------------------------
     xe_step = jax.jit(
-        train_step.make_xe_step(cfg, opt, end_to_end_model=end2end)
+        train_step.make_xe_step(cfg, opt, end_to_end_model=end2end,
+                                remat=args.remat)
     )
     if args.reinforce:
         scst_step = jax.jit(
@@ -272,10 +277,14 @@ def main(argv=None):
         return jnp.asarray(feats)
 
     # ---- loop (reference train.py:47-302) ---------------------------------
+    from ..utils.profiling import MetricsLogger, StepTimer
+
     total_iters = args.num_epochs * num_batches
     start_iter = int(state.step)
     last_save = time.time()
     running = []
+    timer = StepTimer(warmup=2)
+    logger = MetricsLogger(args.metrics_jsonl, stdout=False)
     step_rng = jax.random.PRNGKey(args.seed + 1)
     print(
         f"training: {total_iters} iters ({num_batches}/epoch), "
@@ -307,13 +316,22 @@ def main(argv=None):
             )
             running.append(float(metrics["reward"]))
 
+        timer.tick()
         if (it + 1) % args.print_every_iter == 0:
             tag = "reward" if args.reinforce else "loss"
+            stats = {
+                tag: float(np.mean(running)),
+                "lr": float(sched(it)),
+                "sec_per_iter": timer.sec_per_iter,
+                "pct_done": 100.0 * (it + 1) / total_iters,
+            }
             print(
                 f"it {it + 1}/{total_iters} epoch {loader.get_epoch_it()} "
-                f"{tag} {np.mean(running):.4f} lr {float(sched(it)):.3e}",
+                f"{tag} {stats[tag]:.4f} lr {stats['lr']:.3e} "
+                f"{stats['sec_per_iter']:.3f}s/it {stats['pct_done']:.1f}%",
                 flush=True,
             )
+            logger.log(it + 1, stats)
             running = []
 
         if (time.time() - last_save) / 60 >= args.save_every_minutes or (
@@ -345,6 +363,7 @@ def main(argv=None):
 
     if store:
         store.close()
+    logger.close()
     return 0
 
 

@@ -56,8 +56,14 @@ def beam_search(
     rng: Optional[jax.Array] = None,
     dtype=None,
 ) -> BeamResult:
-    """Single-model beam search. enc_output: (B, S_enc, d_model). Jittable."""
-    state = dc.init_state(params, cfg, enc_output, decode_cfg.max_seq_len)
+    """Single-model beam search. enc_output: (B, S_enc, d_model). Jittable.
+
+    When `dtype` selects bf16 compute, the decoder caches are stored bf16 too
+    (halves decode HBM traffic; see decode/cache.py)."""
+    cache_dtype = dtype if dtype is not None else jnp.float32
+    state = dc.init_state(
+        params, cfg, enc_output, decode_cfg.max_seq_len, cache_dtype
+    )
 
     def step_fn(state, tokens, pos):
         return dc.dec_step(params, cfg, state, tokens, pos, dtype)
@@ -80,8 +86,9 @@ def ensemble_beam_search(
     models/ensemble_captioning_model.py:55-84). `enc_outputs` is one encoder
     output per model (each model encodes with its own weights, reference :48-53).
     """
+    cache_dtype = dtype if dtype is not None else jnp.float32
     states = [
-        dc.init_state(p, cfg, e, decode_cfg.max_seq_len)
+        dc.init_state(p, cfg, e, decode_cfg.max_seq_len, cache_dtype)
         for p, e in zip(params_list, enc_outputs)
     ]
 

@@ -53,9 +53,16 @@ class DecState(NamedTuple):
 
 
 def init_state(
-    params, cfg: CaptionerConfig, enc_output: jnp.ndarray, max_len: int
+    params, cfg: CaptionerConfig, enc_output: jnp.ndarray, max_len: int,
+    cache_dtype=jnp.float32,
 ) -> DecState:
-    """Allocate zeroed caches and precompute cross-attention K/V per layer."""
+    """Allocate zeroed caches and precompute cross-attention K/V per layer.
+
+    cache_dtype: storage dtype of the per-position caches. They dominate decode
+    HBM traffic (each step reads the full (B, L, E, d) query/value caches and the
+    beam reshuffle rewrites them), so bf16 storage halves decode bandwidth;
+    normalizations and accumulations stay fp32 either way.
+    """
     b = enc_output.shape[0]
     d, e = cfg.d_model, cfg.num_exp_dec
     layers = []
@@ -63,14 +70,14 @@ def init_state(
         mha = params["decoders"][i]["mha"]
         layers.append(
             LayerCache(
-                keys=jnp.zeros((b, max_len, d), jnp.float32),
-                ca=jnp.zeros((b, max_len, d), jnp.float32),
-                cb=jnp.zeros((b, max_len, d), jnp.float32),
-                queries=jnp.zeros((b, max_len, e, d), jnp.float32),
-                vals_a=jnp.zeros((b, max_len, e, d), jnp.float32),
-                vals_b=jnp.zeros((b, max_len, e, d), jnp.float32),
-                k_cross=linear(mha["Wk"], enc_output),
-                v_cross=linear(mha["Wv"], enc_output),
+                keys=jnp.zeros((b, max_len, d), cache_dtype),
+                ca=jnp.zeros((b, max_len, d), cache_dtype),
+                cb=jnp.zeros((b, max_len, d), cache_dtype),
+                queries=jnp.zeros((b, max_len, e, d), cache_dtype),
+                vals_a=jnp.zeros((b, max_len, e, d), cache_dtype),
+                vals_b=jnp.zeros((b, max_len, e, d), cache_dtype),
+                k_cross=linear(mha["Wk"], enc_output).astype(cache_dtype),
+                v_cross=linear(mha["Wv"], enc_output).astype(cache_dtype),
             )
         )
     return DecState(layers=layers)
@@ -99,10 +106,11 @@ def _dyn_exp_step(
     q_i = p["query_exp"]["embed"][None] + cond[:, None]  # (B, E, d)
     bias_i = p["bias_exp"]["embed"][None] + cond[:, None]
 
-    keys = cache.keys.at[:, pos].set(k_i)
-    ca = cache.ca.at[:, pos].set(ca_i)
-    cb = cache.cb.at[:, pos].set(cb_i)
-    queries = cache.queries.at[:, pos].set(q_i)
+    cd = cache.keys.dtype
+    keys = cache.keys.at[:, pos].set(k_i.astype(cd))
+    ca = cache.ca.at[:, pos].set(ca_i.astype(cd))
+    cb = cache.cb.at[:, pos].set(cb_i.astype(cd))
+    queries = cache.queries.at[:, pos].set(q_i.astype(cd))
 
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) <= pos
@@ -110,7 +118,8 @@ def _dyn_exp_step(
 
     # forward rows (pos, :): z_fw (B, E, L) over cached keys
     z_fw = jnp.einsum(
-        "bed,bld->bel", q_i, keys, preferred_element_type=jnp.float32
+        "bed,bld->bel", q_i.astype(keys.dtype), keys,
+        preferred_element_type=jnp.float32,
     ) / (d**0.5)
     a_fw = jnp.where(valid[:, None, :], jax.nn.relu(z_fw), 0.0)
     b_fw = jnp.where(valid[:, None, :], jax.nn.relu(-z_fw), 0.0)
@@ -118,12 +127,13 @@ def _dyn_exp_step(
     b_fw = b_fw / (jnp.sum(b_fw, axis=-1, keepdims=True) + cfg.eps)
     fw_a = jnp.einsum("bel,bld->bed", a_fw, ca, preferred_element_type=jnp.float32)
     fw_b = jnp.einsum("bel,bld->bed", b_fw, cb, preferred_element_type=jnp.float32)
-    vals_a = cache.vals_a.at[:, pos].set(fw_a + bias_i)
-    vals_b = cache.vals_b.at[:, pos].set(fw_b + bias_i)
+    vals_a = cache.vals_a.at[:, pos].set((fw_a + bias_i).astype(cd))
+    vals_b = cache.vals_b.at[:, pos].set((fw_b + bias_i).astype(cd))
 
     # backward row pos: z column (B, L, E) = queries . k_i
     z_col = jnp.einsum(
-        "bled,bd->ble", queries, k_i, preferred_element_type=jnp.float32
+        "bled,bd->ble", queries, k_i.astype(queries.dtype),
+        preferred_element_type=jnp.float32,
     ) / (d**0.5)
     a_bw = jnp.where(valid[:, :, None], jax.nn.relu(z_col), 0.0).reshape(b, L * e)
     b_bw = jnp.where(valid[:, :, None], jax.nn.relu(-z_col), 0.0).reshape(b, L * e)
@@ -153,9 +163,9 @@ def _cross_attention_step(
     b, d = x2.shape
     h, dk = cfg.num_heads, cfg.head_dim
     s = cache.k_cross.shape[1]
-    q = linear(p["Wq"], x2, dtype).reshape(b, h, dk)
     k = cache.k_cross.reshape(b, s, h, dk)
     v = cache.v_cross.reshape(b, s, h, dk)
+    q = linear(p["Wq"], x2, dtype).reshape(b, h, dk).astype(k.dtype)
     scores = jnp.einsum("bhd,bshd->bhs", q, k, preferred_element_type=jnp.float32) / (
         dk**0.5
     )

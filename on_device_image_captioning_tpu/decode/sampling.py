@@ -43,7 +43,9 @@ def sample(
     # expand encoder rows per sample (reference :129-134)
     rep = jnp.repeat(jnp.arange(b, dtype=jnp.int32), num_outputs)
     enc_rep = jnp.take(enc_output, rep, axis=0)
-    state = dc.init_state(params, cfg, enc_rep, L + 1)
+    state = dc.init_state(
+        params, cfg, enc_rep, L + 1, dtype if dtype is not None else jnp.float32
+    )
 
     class Carry(NamedTuple):
         t: jnp.ndarray  # next position to sample (0-based step counter)

@@ -35,7 +35,10 @@ def linear(p, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return y + b.astype(y.dtype)
+    y = y + b.astype(y.dtype)
+    # keep activations in the compute dtype: fp32 activation traffic is what
+    # bounds the backbone on HBM bandwidth (accumulation above stays fp32)
+    return y.astype(dtype) if dtype is not None else y
 
 
 def layernorm_init(dim: int):

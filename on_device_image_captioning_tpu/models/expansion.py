@@ -288,7 +288,7 @@ def multi_head_attention(
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", attn.astype(vp.dtype), vp, preferred_element_type=jnp.float32
-    ).reshape(b, tq, d)
+    ).astype(vp.dtype).reshape(b, tq, d)
     return linear(p["out_linear"], out, dtype)
 
 
@@ -318,11 +318,11 @@ def encoder_layer(
 ) -> jnp.ndarray:
     """Pre-LN encoder layer (reference models/layers.py:118-123)."""
     x2 = layernorm(p["norm_1"], x, cfg.ln_eps)
-    x = x + dropout(
-        rngs.next(), cfg.drop.enc, static_expansion(p["stc_exp"], cfg, x2, mask, rngs, train, dtype), train
-    )
+    stc = static_expansion(p["stc_exp"], cfg, x2, mask, rngs, train, dtype)
+    x = x + dropout(rngs.next(), cfg.drop.enc, stc.astype(x.dtype), train)
     x2 = layernorm(p["norm_2"], x, cfg.ln_eps)
-    x = x + dropout(rngs.next(), cfg.drop.enc, feed_forward(p["ff"], cfg, x2, rngs, train, dtype), train)
+    ff = feed_forward(p["ff"], cfg, x2, rngs, train, dtype)
+    x = x + dropout(rngs.next(), cfg.drop.enc, ff.astype(x.dtype), train)
     return x
 
 
@@ -340,21 +340,12 @@ def decoder_layer(
     """Pre-LN decoder layer: dyn-expansion, cross-MHA, FF
     (reference models/layers.py:222-248)."""
     x2 = layernorm(p["norm_1"], x, cfg.ln_eps)
-    x = x + dropout(
-        rngs.next(), cfg.drop.dec, dynamic_expansion(p["dyn_exp"], cfg, x2, self_mask, rngs, train, dtype), train
-    )
+    dyn = dynamic_expansion(p["dyn_exp"], cfg, x2, self_mask, rngs, train, dtype)
+    x = x + dropout(rngs.next(), cfg.drop.dec, dyn.astype(x.dtype), train)
     x2 = layernorm(p["norm_2"], x, cfg.ln_eps)
-    x = x + dropout(
-        rngs.next(),
-        cfg.drop.dec,
-        multi_head_attention(p["mha"], cfg, x2, cross_x, cross_x, cross_mask, dtype),
-        train,
-    )
+    mha = multi_head_attention(p["mha"], cfg, x2, cross_x, cross_x, cross_mask, dtype)
+    x = x + dropout(rngs.next(), cfg.drop.dec, mha.astype(x.dtype), train)
     x2 = layernorm(p["norm_3"], x, cfg.ln_eps)
-    x = x + dropout(
-        rngs.next(),
-        cfg.drop.dec,
-        feed_forward(p["ff"], cfg, x2, rngs, train, dtype, rate=cfg.drop.dec),
-        train,
-    )
+    ff = feed_forward(p["ff"], cfg, x2, rngs, train, dtype, rate=cfg.drop.dec)
+    x = x + dropout(rngs.next(), cfg.drop.dec, ff.astype(x.dtype), train)
     return x

@@ -209,6 +209,8 @@ def window_attention(
         qkv = jnp.dot(x_in, w, preferred_element_type=jnp.float32)
         if "b" in p["qkv"]:
             qkv = qkv + p["qkv"]["b"].astype(qkv.dtype)
+        if dtype is not None:
+            qkv = qkv.astype(dtype)
     qkv = qkv.reshape(bw, n, 3, num_heads, dk).transpose(2, 0, 3, 1, 4)
     idx = jnp.asarray(relative_position_index(window).reshape(-1))
     bias = jnp.take(p["rel_bias"], idx, axis=0).reshape(n, n, num_heads)
@@ -240,7 +242,7 @@ def window_attention(
         out = jnp.einsum(
             "bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(v.dtype)
 
     out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
     out = linear(p["proj"], out, dtype)
@@ -332,7 +334,8 @@ def patch_merging(p, cfg: SwinConfig, x: jnp.ndarray, stage: int, dtype=None):
     w = p["reduction"]["w"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y.astype(dtype) if dtype is not None else y
 
 
 def patch_embed(p, cfg: SwinConfig, images: jnp.ndarray, dtype=None) -> jnp.ndarray:
