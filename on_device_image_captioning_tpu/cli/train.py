@@ -62,6 +62,9 @@ def parse_args(argv=None):
     p.add_argument("--annotations", type=str, required=True)
     p.add_argument("--images_path", type=str, default="")
     p.add_argument("--features_path", type=str, default=None)
+    p.add_argument("--preproc_images_hdf5", type=str, default=None,
+                   help="preprocessed uint8 image store (data/images_io.py), "
+                        "replaces per-step JPEG decode in end-to-end training")
     p.add_argument("--vocab_path", type=str, default=None)
     p.add_argument("--is_end_to_end", action="store_true")
     p.add_argument("--max_seq_len", type=int, default=None)
@@ -90,7 +93,6 @@ def build_model_cfg(args, vocab, max_seq_len):
     from ..config import (
         CaptionerConfig,
         DropConfig,
-        ModelConfig,
         end_expansionnet_v2_coco,
         remove_layers,
     )
@@ -161,6 +163,11 @@ def main(argv=None):
         mode=mode,
     )
     store = FeatureStore(args.features_path) if args.features_path else None
+    img_store = None
+    if args.preproc_images_hdf5:
+        from ..data.images_io import PreprocessedImageStore
+
+        img_store = PreprocessedImageStore(args.preproc_images_hdf5)
 
     # ---- model ------------------------------------------------------------
     cfg = build_model_cfg(args, vocab, max_seq_len)
@@ -269,9 +276,12 @@ def main(argv=None):
 
     def materialize_enc_input(batch):
         if end2end:
-            imgs = preprocess_batch(
-                loader.image_paths(batch["img_idxs"]), cfg.swin.img_size
-            )
+            if img_store is not None:
+                imgs = img_store.read_batch(loader.image_ids(batch["img_idxs"]))
+            else:
+                imgs = preprocess_batch(
+                    loader.image_paths(batch["img_idxs"]), cfg.swin.img_size
+                )
             return normalize_on_device(jnp.asarray(imgs))
         feats, pads = store.read_batch(loader.image_ids(batch["img_idxs"]))
         return jnp.asarray(feats)
@@ -363,6 +373,8 @@ def main(argv=None):
 
     if store:
         store.close()
+    if img_store:
+        img_store.close()
     logger.close()
     return 0
 

@@ -18,7 +18,7 @@ the "engine" is the XLA executable itself:
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

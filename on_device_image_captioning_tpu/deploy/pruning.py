@@ -11,9 +11,8 @@ win is the checkpoint: `save_sparse` stores only nonzero values + int32 indices.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List
 
-import jax
 import numpy as np
 
 

@@ -8,7 +8,7 @@ activate only when a jar path is configured (see meteor.py / spice.py).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from .bleu import compute_bleu
 from .cider import compute_cider

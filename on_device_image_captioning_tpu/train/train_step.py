@@ -17,8 +17,7 @@ inserts the gradient psum that DDP's all-reduce performed in the reference.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

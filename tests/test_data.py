@@ -176,3 +176,27 @@ def test_feature_store_roundtrip(tmp_path):
         assert pads == [0, 44]
         np.testing.assert_array_equal(batch[1, :100], f2)
         assert (batch[1, 100:] == 0).all()
+
+
+def test_preprocessed_image_store(tmp_path):
+    from on_device_image_captioning_tpu.data.images_io import (
+        PreprocessedImageStore,
+        build_store,
+    )
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(3):
+        arr = rng.integers(0, 255, (17, 23, 3), dtype=np.uint8)
+        p = img_dir / f"{i}.jpg"
+        Image.fromarray(arr).save(p)
+        records.append({"img_id": 100 + i, "img_path": str(p)})
+    store_path = str(tmp_path / "preproc.hdf5")
+    build_store(store_path, records, size=16, verbose=False)
+    with PreprocessedImageStore(store_path) as store:
+        assert 100 in store and 999 not in store
+        batch = store.read_batch([100, 102])
+        assert batch.shape == (2, 16, 16, 3) and batch.dtype == np.uint8
