@@ -86,6 +86,11 @@ def parse_args(argv=None):
                    help="jax.checkpoint the Swin blocks (the reference's "
                         "swin_use_checkpoint flag)")
     p.add_argument("--metrics_jsonl", type=str, default=None)
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="prefetch depth: overlap host batch materialization "
+                        "(JPEG decode / HDF5 reads) with device compute; 0 = "
+                        "synchronous. NOTE: with prefetch, a resumed run may "
+                        "skip up to `depth` batches (the cursor runs ahead)")
     return p.parse_args(argv)
 
 
@@ -302,18 +307,32 @@ def main(argv=None):
         f"{'SCST' if args.reinforce else 'XE'}",
         flush=True,
     )
+    def materialize(batch):
+        arrays = {"enc_input": materialize_enc_input(batch)}
+        if "captions" in batch:
+            arrays["captions"] = jnp.asarray(batch["captions"], jnp.int32)
+        return arrays
+
+    prefetcher = None
+    if args.prefetch > 0:
+        from ..data.prefetch import PrefetchIterator
+
+        prefetcher = PrefetchIterator(
+            lambda: loader.get_next_batch(max_seq_len), materialize,
+            depth=args.prefetch,
+        )
+
     for it in range(start_iter, total_iters):
-        batch = loader.get_next_batch(max_seq_len)
+        if prefetcher is not None:
+            batch, arrays = prefetcher.get()
+        else:
+            batch = loader.get_next_batch(max_seq_len)
+            arrays = materialize(batch)
         step_rng, sub = jax.random.split(step_rng)
         if not args.reinforce:
-            arrays = {
-                "enc_input": materialize_enc_input(batch),
-                "captions": jnp.asarray(batch["captions"], jnp.int32),
-            }
             state, metrics = xe_step(state, arrays, sub)
             running.append(float(metrics["loss"]))
         else:
-            arrays = {"enc_input": materialize_enc_input(batch)}
             sampled = sample_batch(state.params, arrays["enc_input"], sub)
             rewards = reward_fn(
                 np.asarray(sampled.tokens), np.asarray(sampled.lengths),
@@ -371,6 +390,8 @@ def main(argv=None):
                 )
                 print(f"[eval beam {beam}] {scores}", flush=True)
 
+    if prefetcher is not None:
+        prefetcher.close()
     if store:
         store.close()
     if img_store:
