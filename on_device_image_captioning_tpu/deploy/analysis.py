@@ -52,7 +52,7 @@ def swin_flops(cfg: SwinConfig) -> int:
             total += dim * h * w  # norm2
         if i < cfg.num_layers - 1:  # patch merging (reference :506-510)
             total += h * w * dim + (h // 2) * (w // 2) * 4 * dim * 2 * dim
-    total += cfg.num_features * ho * wo // (2**cfg.num_layers)  # final norm
+    # the reference's total excludes the final norm (commented out at :825-826)
     return int(total)
 
 

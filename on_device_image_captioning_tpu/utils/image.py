@@ -34,6 +34,12 @@ def normalize_on_device(images_u8):
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def preprocess_batch(paths, size: int) -> np.ndarray:
-    """Host-side batch decode for CLIs; returns uint8 (B, size, size, 3)."""
-    return np.stack([load_image_rgb(p, size) for p in paths])
+def preprocess_batch(paths, size: int, num_threads: int = 8) -> np.ndarray:
+    """Host-side batch decode; returns uint8 (B, size, size, 3). JPEG decode is
+    GIL-releasing PIL C code, so a small thread pool parallelizes it."""
+    if len(paths) <= 1 or num_threads <= 1:
+        return np.stack([load_image_rgb(p, size) for p in paths])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(num_threads, len(paths))) as pool:
+        return np.stack(list(pool.map(lambda p: load_image_rgb(p, size), paths)))

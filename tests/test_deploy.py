@@ -149,3 +149,26 @@ def test_aot_engine_and_artifact(tmp_path):
     call, loaded_params = aot.load_artifact(art)
     toks2, lengths2 = call(loaded_params, imgs)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+
+
+def test_swin_flops_matches_reference(reference_path):
+    """Analytic Swin FLOPs equal the reference's per-module flops() methods
+    (reference models/swin_transformer_mod.py:820-827) on the tiny config."""
+    import torch.nn as nn
+    from models.swin_transformer_mod import SwinTransformer
+
+    tiny = SwinConfig(
+        img_size=32, patch_size=4, embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+        window_size=4,
+    )
+    ref = SwinTransformer(
+        img_size=32, patch_size=4, in_chans=3, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=4, mlp_ratio=4.0, qkv_bias=True,
+        qk_scale=None, drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=nn.LayerNorm, ape=False, patch_norm=True,
+        use_checkpoint=False, rank="cpu",
+    )
+    assert analysis.swin_flops(tiny) == int(ref.flops())
+    # and the flagship config
+    full_ref_flops = analysis.swin_flops(SwinConfig())
+    assert 5e10 < full_ref_flops < 2e11  # ~100 GMACs for Swin-L/384
