@@ -172,3 +172,16 @@ def test_swin_flops_matches_reference(reference_path):
     # and the flagship config
     full_ref_flops = analysis.swin_flops(SwinConfig())
     assert 5e10 < full_ref_flops < 2e11  # ~100 GMACs for Swin-L/384
+
+
+def test_reference_results_tables(tmp_path):
+    from on_device_image_captioning_tpu.deploy import reference_results as rr
+
+    assert rr.PARAMS["baseline"] == 233_803_076
+    out = str(tmp_path / "cmp.png")
+    rr.plot_comparison(109.8, out)
+    import os
+
+    assert os.path.getsize(out) > 1000
+    table = rr.scores_table({"CIDEr": 1.40, "Bleu_1": 0.82})
+    assert "CIDEr" in table and "reference" in table
