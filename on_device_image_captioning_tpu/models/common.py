@@ -45,8 +45,24 @@ def layernorm_init(dim: int):
     return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
 
 
+# LayerNorm implementation: 'xla' (default) or 'pallas' (fused kernel,
+# ops/layernorm.py — profiling showed the XLA convert+reduce chains around the
+# bf16 activation stream cost ~26% of the Swin forward). Process-wide toggle.
+_LN_IMPL = "xla"
+
+
+def set_layernorm_impl(impl: str) -> None:
+    global _LN_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _LN_IMPL = impl
+
+
 def layernorm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """torch.nn.LayerNorm over the last dim (biased variance), computed in fp32."""
+    """torch.nn.LayerNorm over the last dim (biased variance), stats in fp32."""
+    if _LN_IMPL == "pallas" and x.ndim >= 2:
+        from ..ops.layernorm import layernorm_pallas
+
+        return layernorm_pallas(x, p["scale"], p["bias"], eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

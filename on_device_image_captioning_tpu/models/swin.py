@@ -304,9 +304,11 @@ def swin_block(
     return x + _drop_path(rngs.next(), drop_path_rate, h, train)
 
 
-def _drop_path(rng, rate: float, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-    """Stochastic depth, per-sample (reference models/swin_transformer_mod.py:25-40)."""
-    if not train or rate == 0.0 or rng is None:
+def _drop_path(rng, rate, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """Stochastic depth, per-sample (reference models/swin_transformer_mod.py:25-40).
+    `rate` may be a traced scalar (stage scan feeds per-block rates as scan
+    inputs)."""
+    if not train or rng is None:
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -382,15 +384,62 @@ def swin_apply(
     blk_idx = 0
     for i in range(cfg.num_layers):
         stage = params["stages"][i]
-        for j in range(cfg.depths[i]):
-            fn = swin_block
-            if remat:
-                # hashable statics: cfg, stage/block idx, train flag, rates, dtype
-                fn = jax.checkpoint(swin_block, static_argnums=(1, 3, 4, 6, 7, 8))
-            x = fn(
-                stage["blocks"][j], cfg, x, i, j, rngs.next(), train, dpr[blk_idx], dtype
-            )
-            blk_idx += 1
+        depth = cfg.depths[i]
+        stage_dpr = dpr[blk_idx : blk_idx + depth]
+        blk_idx += depth
+        x = _run_stage(stage, cfg, x, i, rngs, train, stage_dpr, dtype, remat)
         if "downsample" in stage:
             x = patch_merging(stage["downsample"], cfg, x, i, dtype)
     return layernorm(params["norm"], x, cfg.ln_eps)
+
+
+def _run_stage(
+    stage, cfg: SwinConfig, x, i, rngs: RngStream, train, stage_dpr, dtype, remat
+):
+    """Run one stage's blocks.
+
+    Deep stages (Swin-L stage 2 = 18 blocks) run as a lax.scan over stacked
+    (plain, shifted) block pairs: the blocks are structurally identical, so
+    scanning shrinks the HLO ~depth/2 x — a large cut to the minutes-long XLA
+    compile of the full backbone — at the cost of stacking the stage's weights
+    once per forward (~2% of backbone time). Shallow stages stay unrolled.
+    """
+    depth = len(stage["blocks"])
+    if depth < 4:
+        for j in range(depth):
+            fn = swin_block
+            if remat:
+                # hashable statics: cfg, stage/block idx, train flag, dtype
+                fn = jax.checkpoint(swin_block, static_argnums=(1, 3, 4, 6, 8))
+            x = fn(
+                stage["blocks"][j], cfg, x, i, j, rngs.next(), train, stage_dpr[j],
+                dtype,
+            )
+        return x
+
+    assert depth % 2 == 0, "swin stages alternate plain/shifted block pairs"
+    blocks = stage["blocks"]
+    even = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[0::2])
+    odd = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[1::2])
+    n_pairs = depth // 2
+    rate_e = jnp.asarray(stage_dpr[0::2], jnp.float32)
+    rate_o = jnp.asarray(stage_dpr[1::2], jnp.float32)
+    use_rng = train and rngs.next() is not None
+    if use_rng:
+        keys_e = jnp.stack([rngs.next() for _ in range(n_pairs)])
+        keys_o = jnp.stack([rngs.next() for _ in range(n_pairs)])
+    else:
+        keys_e = keys_o = jnp.zeros((n_pairs, 2), jnp.uint32)
+
+    def body(carry, inp):
+        pe, po, de, do, ke, ko = inp
+        h = swin_block(
+            pe, cfg, carry, i, 0, ke if use_rng else None, train, de, dtype
+        )
+        h = swin_block(po, cfg, h, i, 1, ko if use_rng else None, train, do, dtype)
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (even, odd, rate_e, rate_o, keys_e, keys_o))
+    return x

@@ -81,3 +81,49 @@ def test_quantized_matmul_kernel_matches_unfused(with_bias):
     if b is not None:
         want = want + b
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_layernorm_kernel_matches_xla_and_grads():
+    from on_device_image_captioning_tpu.models import common
+    from on_device_image_captioning_tpu.ops.layernorm import layernorm_pallas
+
+    rng = np.random.default_rng(2)
+    for shape in [(6, 33), (2, 12, 192), (130, 64)]:
+        x = rng.standard_normal(shape, dtype=np.float32)
+        p = {
+            "scale": rng.standard_normal(shape[-1], dtype=np.float32),
+            "bias": rng.standard_normal(shape[-1], dtype=np.float32),
+        }
+        want = np.asarray(common.layernorm(p, jnp.asarray(x)))
+        got = np.asarray(layernorm_pallas(jnp.asarray(x), p["scale"], p["bias"]))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5, err_msg=str(shape))
+
+    # gradients agree with the XLA implementation
+    x = jnp.asarray(rng.standard_normal((4, 64), dtype=np.float32))
+    p = {
+        "scale": jnp.asarray(rng.standard_normal(64, dtype=np.float32)),
+        "bias": jnp.asarray(rng.standard_normal(64, dtype=np.float32)),
+    }
+    loss_xla = lambda x, s, b: jnp.sum(common.layernorm({"scale": s, "bias": b}, x) ** 2)
+    loss_pal = lambda x, s, b: jnp.sum(layernorm_pallas(x, s, b) ** 2)
+    gx1, gs1, gb1 = jax.grad(loss_xla, argnums=(0, 1, 2))(x, p["scale"], p["bias"])
+    gx2, gs2, gb2 = jax.grad(loss_pal, argnums=(0, 1, 2))(x, p["scale"], p["bias"])
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs2), np.asarray(gs1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb2), np.asarray(gb1), rtol=1e-4, atol=1e-5)
+
+
+def test_layernorm_impl_toggle():
+    import dataclasses
+
+    from on_device_image_captioning_tpu.models import common
+
+    params = swin.swin_init(jax.random.PRNGKey(0), TINY)
+    imgs = np.random.default_rng(1).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    base = np.asarray(swin.swin_apply(params, TINY, imgs))
+    common.set_layernorm_impl("pallas")
+    try:
+        got = np.asarray(swin.swin_apply(params, TINY, imgs))
+    finally:
+        common.set_layernorm_impl("xla")
+    np.testing.assert_allclose(got, base, rtol=3e-5, atol=3e-5)

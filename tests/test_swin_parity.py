@@ -72,3 +72,33 @@ def test_swin_large_output_shape():
     cfg = SwinConfig()
     assert cfg.num_features == 1536
     assert cfg.stage_resolution(3) == (12, 12)
+
+
+def test_swin_scan_stage_matches_reference(reference_path):
+    """Stages deep enough to take the lax.scan path (depth >= 4) must still match
+    the reference elementwise."""
+    import torch
+    import torch.nn as nn
+    from models.swin_transformer_mod import SwinTransformer
+
+    cfg = SwinConfig(
+        img_size=32, patch_size=4, in_chans=3, embed_dim=8, depths=(6, 2),
+        num_heads=(2, 4), window_size=4,
+    )
+    torch.manual_seed(1)
+    ref = SwinTransformer(
+        img_size=32, patch_size=4, in_chans=3, embed_dim=8, depths=[6, 2],
+        num_heads=[2, 4], window_size=4, mlp_ratio=4.0, qkv_bias=True,
+        qk_scale=None, drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+        norm_layer=nn.LayerNorm, ape=False, patch_norm=True,
+        use_checkpoint=False, rank="cpu",
+    )
+    ref.eval()
+    sd = torch_convert.strip_prefixes(ref.state_dict())
+    params = torch_convert.to_jax(torch_convert.convert_swin(sd, cfg, prefix=""))
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((2, 3, 32, 32), dtype=np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(imgs)).numpy()
+    got = np.asarray(swin.swin_apply(params, cfg, imgs.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
