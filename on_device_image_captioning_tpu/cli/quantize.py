@@ -40,7 +40,6 @@ def main(argv=None):
         quantize_encoder,
         quantized_size_bytes,
     )
-    from ..utils.checkpointing import save_checkpoint
     from .demo import build_vocab, load_params
 
     vocab = build_vocab(args)
@@ -64,13 +63,6 @@ def main(argv=None):
         f"{before / 1e6:.1f} MB -> {after / 1e6:.1f} MB",
         flush=True,
     )
-    import os
-
-    save_checkpoint(
-        os.path.dirname(os.path.abspath(args.output)) or ".", params,
-        additional_info=f"q{args.scheme}",
-    )
-    # also write to the exact requested path
     from flax import serialization
 
     import numpy as np

@@ -58,7 +58,7 @@ def caption_fn(cfg: ModelConfig, dcfg: DecodeConfig, greedy: bool = False):
 
 def build_caption_engine(
     params, cfg: ModelConfig, dcfg: DecodeConfig, batch_size: int,
-    greedy: bool = False, donate_params: bool = False,
+    greedy: bool = False,
 ):
     """Compile the fixed-shape engine; returns (compiled, cost_analysis dict).
 
