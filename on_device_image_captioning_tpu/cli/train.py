@@ -86,6 +86,10 @@ def parse_args(argv=None):
                    help="jax.checkpoint the Swin blocks (the reference's "
                         "swin_use_checkpoint flag)")
     p.add_argument("--metrics_jsonl", type=str, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host SPMD: call jax.distributed.initialize() "
+                        "(coordinator from JAX_COORDINATOR_ADDRESS etc.); the "
+                        "loader shards by process index automatically")
     p.add_argument("--prefetch", type=int, default=0,
                    help="prefetch depth: overlap host batch materialization "
                         "(JPEG decode / HDF5 reads) with device compute; 0 = "
@@ -133,6 +137,8 @@ def build_model_cfg(args, vocab, max_seq_len):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        jax.distributed.initialize()
     random.seed(args.seed)
     np.random.seed(args.seed)
 

@@ -142,3 +142,36 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_remat_grads_match():
+    """jax.checkpoint'd Swin (the reference's swin_use_checkpoint flag) must give
+    identical gradients, including through the scanned deep stage."""
+    import dataclasses
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _tiny_model_cfg
+    from on_device_image_captioning_tpu.models import end_to_end
+
+    cfg = _tiny_model_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        swin=dataclasses.replace(cfg.swin, depths=(4, 2), drop_path_rate=0.1),
+    )
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    toks = jnp.asarray(rng.integers(0, 64, (2, 6), dtype=np.int32))
+
+    def loss(params, remat):
+        out = end_to_end.forward(
+            params, cfg, imgs, toks, rng=jax.random.PRNGKey(5), train=True,
+            remat=remat,
+        )
+        return jnp.sum(out**2) / out.size
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
