@@ -1,0 +1,130 @@
+"""System test: the training stack actually learns.
+
+Overfit the features-in model on a tiny synthetic corpus with RAdam + the
+label-smoothing loss, then beam-decode the training inputs — the captioner must
+reproduce its training captions. Exercises optimizer, schedule, loss, teacher
+forcing, and decode as one system (the reference has no such test; its only
+validation is full-dataset training)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from on_device_image_captioning_tpu.config import CaptionerConfig, DecodeConfig
+from on_device_image_captioning_tpu.data.text import Vocab, pad_batch
+from on_device_image_captioning_tpu.decode import beam_search as bs
+from on_device_image_captioning_tpu.models import captioner as cap
+from on_device_image_captioning_tpu.train import radam, train_step
+
+
+def test_overfit_tiny_corpus_and_reproduce_captions():
+    vocab = Vocab.build(
+        ["a red ball", "a blue cat", "the green dog", "a small bird"], 1
+    )
+    cfg = CaptionerConfig(
+        d_model=48, N_enc=1, N_dec=1, ff=96, num_heads=4, num_exp_enc_list=(4,),
+        num_exp_dec=4, vocab_size=len(vocab), max_seq_len=12, img_feature_dim=8,
+        sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+    )
+    rng = np.random.default_rng(0)
+    n = 4
+    feats = rng.standard_normal((n, 5, cfg.img_feature_dim), dtype=np.float32)
+    captions = ["a red ball", "a blue cat", "the green dog", "a small bird"]
+    encoded, _ = pad_batch(
+        [vocab.encode_caption(c) for c in captions], vocab.pad_idx
+    )
+    batch = {
+        "enc_input": jnp.asarray(feats),
+        "captions": jnp.asarray(encoded, jnp.int32),
+    }
+
+    params = cap.captioner_init(jax.random.PRNGKey(0), cfg)
+    opt = radam.radam(2e-3, b1=0.9, b2=0.98, eps=1e-9)
+    step = jax.jit(train_step.make_xe_step(cfg, opt, end_to_end_model=False))
+    state = train_step.init_train_state(params, opt)
+    first = last = None
+    for i in range(300):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        if i == 0:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first * 0.3, (first, last)
+
+    enc = cap.forward_enc(state.params, cfg, feats)
+    res = bs.beam_search(
+        state.params, cfg, enc,
+        DecodeConfig(beam_size=3, how_many_outputs=1, max_seq_len=12,
+                     sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx),
+    )
+    caps, _ = bs.captions_from_result(res)
+    decoded = [vocab.description(row[0]).lower().rstrip(".") for row in caps]
+    # the overfit model reproduces most training captions verbatim
+    hits = sum(d == c for d, c in zip(decoded, captions))
+    assert hits >= 3, decoded
+
+
+def test_scst_increases_reward():
+    """SCST system test: sampling -> CIDEr reward -> REINFORCE gradient raises the
+    mean reward on a tiny corpus (the full phase-5 loop in miniature)."""
+    from on_device_image_captioning_tpu.decode import sampling
+    from on_device_image_captioning_tpu.train.scst import CiderReward
+
+    vocab = Vocab.build(["a red ball", "a blue cat", "a green dog"], 1)
+    cfg = CaptionerConfig(
+        d_model=48, N_enc=1, N_dec=1, ff=96, num_heads=4, num_exp_enc_list=(4,),
+        num_exp_dec=4, vocab_size=len(vocab), max_seq_len=10, img_feature_dim=8,
+        sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+    )
+    rng = np.random.default_rng(1)
+    n = 3
+    feats = rng.standard_normal((n, 5, cfg.img_feature_dim), dtype=np.float32)
+    refs = [["a red ball"], ["a blue cat"], ["a green dog"]]
+
+    # brief XE warmup so sampling isn't uniform noise
+    encoded, _ = pad_batch(
+        [vocab.encode_caption(r[0]) for r in refs], vocab.pad_idx
+    )
+    batch = {
+        "enc_input": jnp.asarray(feats),
+        "captions": jnp.asarray(encoded, jnp.int32),
+    }
+    params = cap.captioner_init(jax.random.PRNGKey(1), cfg)
+    warm_opt = optax.adam(2e-3)
+    warm = jax.jit(train_step.make_xe_step(cfg, warm_opt, end_to_end_model=False))
+    state = train_step.init_train_state(params, warm_opt)
+    for i in range(60):
+        state, _ = warm(state, batch, jax.random.PRNGKey(i))
+
+    reward_fn = CiderReward(refs)
+    num_samples = 4
+    opt = optax.adam(5e-4)
+    scst = jax.jit(
+        train_step.make_scst_step(cfg, opt, end_to_end_model=False,
+                                  num_samples=num_samples)
+    )
+    state = train_step.init_train_state(state.params, opt)
+
+    sample_jit = jax.jit(
+        lambda p, f, r: sampling.sample(
+            p, cfg, cap.forward_enc(p, cfg, f), num_samples, 8, r,
+            vocab.sos_idx, vocab.eos_idx,
+        )
+    )
+    rewards_log = []
+    key = jax.random.PRNGKey(7)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        sampled = sample_jit(state.params, jnp.asarray(feats), sub)
+        rewards = reward_fn(
+            np.asarray(sampled.tokens), np.asarray(sampled.lengths),
+            list(range(n)), vocab,
+        )
+        state, metrics = scst(
+            state, {"enc_input": jnp.asarray(feats)},
+            {"tokens": sampled.tokens, "lengths": sampled.lengths},
+            jnp.asarray(rewards),
+        )
+        rewards_log.append(float(rewards.mean()))
+    early = np.mean(rewards_log[:5])
+    late = np.mean(rewards_log[-5:])
+    assert late > early, (early, late)
