@@ -46,11 +46,16 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     beam = int(os.environ.get("BENCH_BEAM", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
+    quant = os.environ.get("BENCH_QUANT", "none")  # none | w8 | w8a8
 
     cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
     dcfg = DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=20)
 
     params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    if quant != "none":
+        from on_device_image_captioning_tpu.deploy.quantization import quantize_tree
+
+        params = jax.device_put(quantize_tree(params, quant))
 
     @jax.jit
     def caption(params, images_u8, rng):
@@ -93,10 +98,12 @@ def main():
 
     best = min(pipelined, min(times))
     images_per_sec = batch / best
+    suffix = "" if quant == "none" else f"_{quant}"
     print(
         json.dumps(
             {
-                "metric": "images_per_sec_e2e_swinL384_beam%d_b%d" % (beam, batch),
+                "metric": "images_per_sec_e2e_swinL384_beam%d_b%d%s"
+                % (beam, batch, suffix),
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),

@@ -203,6 +203,14 @@ def main(argv=None):
                         default=[32, 64, 128, 256, 512])
     parser.add_argument("--num_exp_dec", type=int, default=16)
     parser.add_argument("--img_feature_dim", type=int, default=1536)
+    # Swin geometry (defaults = Swin-L/384; overridable for small configs/tests)
+    parser.add_argument("--swin_img_size", type=int, default=384)
+    parser.add_argument("--swin_patch_size", type=int, default=4)
+    parser.add_argument("--swin_embed_dim", type=int, default=192)
+    parser.add_argument("--swin_depths", type=int, nargs="+", default=[2, 2, 18, 2])
+    parser.add_argument("--swin_num_heads", type=int, nargs="+",
+                        default=[6, 12, 24, 48])
+    parser.add_argument("--swin_window_size", type=int, default=12)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--quantize", choices=["none", "w8", "w8a8"],
                         default="none")
@@ -234,11 +242,20 @@ def main(argv=None):
         params = [load_checkpoint(lp)["params"] for lp in args.load_path]
         params = params[0] if len(params) == 1 else params
     else:
-        cfg = end_expansionnet_v2_coco(
-            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+        from ..config import ModelConfig, SwinConfig
+
+        swin = SwinConfig(
+            img_size=args.swin_img_size, patch_size=args.swin_patch_size,
+            embed_dim=args.swin_embed_dim, depths=tuple(args.swin_depths),
+            num_heads=tuple(args.swin_num_heads),
+            window_size=args.swin_window_size,
         )
-        cfg = dataclasses.replace(
-            cfg, captioner=dataclasses.replace(cap, img_feature_dim=1536)
+        cfg = ModelConfig(
+            swin=swin,
+            captioner=dataclasses.replace(
+                cap, img_feature_dim=swin.num_features
+            ),
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
         cfg = remove_layers(cfg, args.param_config)
         params = [load_params(lp, cfg) for lp in args.load_path]

@@ -31,10 +31,16 @@ def main(argv=None):
     parser.add_argument("--output", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    parser.add_argument("--swin_img_size", type=int, default=384)
+    parser.add_argument("--swin_patch_size", type=int, default=4)
+    parser.add_argument("--swin_embed_dim", type=int, default=192)
+    parser.add_argument("--swin_depths", type=int, nargs="+", default=[2, 2, 18, 2])
+    parser.add_argument("--swin_num_heads", type=int, nargs="+",
+                        default=[6, 12, 24, 48])
+    parser.add_argument("--swin_window_size", type=int, default=12)
     parser.add_argument("--bf16", action="store_true")
     args = parser.parse_args(argv)
 
-    from ..config import end_expansionnet_v2_coco
     from ..data.datasets import load_coco_karpathy, load_vizwiz
     from ..data.features_io import FeatureStore
     from ..data.text import Vocab
@@ -47,12 +53,16 @@ def main(argv=None):
     else:
         dataset = load_vizwiz(args.annotations, args.images_path, vocab=vocab)
 
-    cfg = end_expansionnet_v2_coco(
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+    from ..config import SwinConfig
+
+    swin_cfg = SwinConfig(
+        img_size=args.swin_img_size, patch_size=args.swin_patch_size,
+        embed_dim=args.swin_embed_dim, depths=tuple(args.swin_depths),
+        num_heads=tuple(args.swin_num_heads), window_size=args.swin_window_size,
     )
-    swin_cfg = cfg.swin
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.backbone_checkpoint:
-        params = _load_backbone(args.backbone_checkpoint, cfg)
+        params = _load_backbone(args.backbone_checkpoint, swin_cfg)
     else:
         print("WARNING: random backbone weights (no checkpoint given)", flush=True)
         params = swin_mod.swin_init(jax.random.PRNGKey(0), swin_cfg)
@@ -60,7 +70,7 @@ def main(argv=None):
     @jax.jit
     def extract(params, images_u8):
         x = normalize_on_device(images_u8)
-        return swin_mod.swin_apply(params, swin_cfg, x, dtype=cfg.compute_dtype)
+        return swin_mod.swin_apply(params, swin_cfg, x, dtype=compute_dtype)
 
     records = [r for s in args.splits for r in dataset.records(s)]
     print(f"extracting features for {len(records)} images", flush=True)
@@ -84,9 +94,12 @@ def main(argv=None):
     return 0
 
 
-def _load_backbone(path: str, cfg):
+def _load_backbone(path: str, swin_cfg):
     """Accept a full end-to-end checkpoint, a Swin-official file ({'model': ...},
     reference data_generator.py:76-83), or a native checkpoint."""
+    from ..config import ModelConfig, CaptionerConfig
+    import dataclasses
+
     from ..params.torch_convert import convert_end_to_end, convert_swin, to_jax
     from ..utils.checkpointing import load_checkpoint
 
@@ -95,7 +108,13 @@ def _load_backbone(path: str, cfg):
 
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if "model" in sd:  # Swin-official pretraining format
-            return to_jax(convert_swin(sd["model"], cfg.swin, prefix=""))
+            return to_jax(convert_swin(sd["model"], swin_cfg, prefix=""))
+        cfg = ModelConfig(
+            swin=swin_cfg,
+            captioner=dataclasses.replace(
+                CaptionerConfig(), img_feature_dim=swin_cfg.num_features
+            ),
+        )
         return to_jax(convert_end_to_end(sd, cfg))["swin"]
     payload = load_checkpoint(path)
     params = payload["params"]

@@ -166,3 +166,88 @@ def test_evaluate_ensemble_and_quantized(corpus, tmp_path):
     save_checkpoint(str(db), params_b, additional_info="xe")
     bpath = str(next(p for p in db.iterdir() if p.name.startswith("checkpoint_")))
     assert eval_cli.main(args + ["--load_path", qpath, bpath]) == 0
+
+
+def test_generate_features_and_end_to_end_evaluate(tmp_path):
+    """Drive the remaining CLI branches with a tiny Swin: feature extraction over
+    real (synthetic) JPEGs, then end-to-end evaluation from a native checkpoint."""
+    import json
+
+    import jax
+    from PIL import Image
+
+    from on_device_image_captioning_tpu.cli import evaluate as eval_cli
+    from on_device_image_captioning_tpu.cli import generate_features as gen_cli
+    from on_device_image_captioning_tpu.config import (
+        CaptionerConfig,
+        ModelConfig,
+        SwinConfig,
+    )
+    from on_device_image_captioning_tpu.data.features_io import FeatureStore
+    from on_device_image_captioning_tpu.models import end_to_end
+    from on_device_image_captioning_tpu.utils.checkpointing import save_checkpoint
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "v" / "img"
+    img_dir.mkdir(parents=True)
+    items = []
+    for i in range(5):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"i{i}.jpg")
+        items.append(
+            {
+                "cocoid": i, "filepath": "v", "filename": f"i{i}.jpg",
+                "split": "train" if i < 3 else "test",
+                "sentences": [{"raw": "a cat sits on a mat"}] * 2,
+            }
+        )
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({"images": items}))
+
+    swin_flags = [
+        "--swin_img_size", "32", "--swin_patch_size", "4", "--swin_embed_dim",
+        "16", "--swin_depths", "2", "2", "--swin_num_heads", "2", "4",
+        "--swin_window_size", "4",
+    ]
+    feat = str(tmp_path / "f.hdf5")
+    rc = gen_cli.main(
+        ["--annotations", str(ann), "--images_path", str(tmp_path),
+         "--output", feat, "--batch_size", "2", *swin_flags]
+    )
+    assert rc == 0
+    with FeatureStore(feat) as store:
+        assert store.read(0).shape == (16, 32)  # 4x4 tokens, 16*2 dims
+
+    # native end-to-end checkpoint for the tiny geometry
+    cfg = ModelConfig(
+        swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+                        num_heads=(2, 4), window_size=4),
+        captioner=CaptionerConfig(
+            d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4,
+            num_exp_enc_list=(4, 8), num_exp_dec=4, vocab_size=12,
+            max_seq_len=12, img_feature_dim=32,
+        ),
+    )
+    # dataset vocab is tiny; rebuild with the right size
+    from on_device_image_captioning_tpu.data.datasets import load_coco_karpathy
+
+    ds = load_coco_karpathy(str(ann), dict_min_occurrences=1)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, captioner=dataclasses.replace(cfg.captioner, vocab_size=len(ds.vocab))
+    )
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    d = tmp_path / "ck"
+    save_checkpoint(str(d), params, additional_info="xe")
+    ckpt = str(next(p for p in d.iterdir() if p.name.startswith("checkpoint_")))
+
+    rc = eval_cli.main(
+        ["--annotations", str(ann), "--images_path", str(tmp_path),
+         "--load_path", ckpt, "--split", "test", "--beam_sizes", "2",
+         "--batch_size", "2", "--max_seq_len", "12",
+         "--model_dim", "32", "--N_enc", "2", "--N_dec", "2", "--ff", "64",
+         "--num_heads", "4", "--num_exp_enc_list", "4", "8",
+         "--num_exp_dec", "4", *swin_flags]
+    )
+    assert rc == 0
