@@ -214,6 +214,10 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--quantize", choices=["none", "w8", "w8a8"],
                         default="none")
+    parser.add_argument("--load_pruned", action="store_true",
+                        help="--load_path points at a sparse .npz written by "
+                             "deploy.pruning.save_sparse (reference "
+                             "test.py:455-459)")
     parser.add_argument("--eval_loss", action="store_true")
     args = parser.parse_args(argv)
 
@@ -239,7 +243,14 @@ def main(argv=None):
                 N_enc=cfg.N_enc - (args.param_config >= 1),
                 N_dec=cfg.N_dec - (args.param_config >= 2),
             )
-        params = [load_checkpoint(lp)["params"] for lp in args.load_path]
+        if args.load_pruned:
+            from ..deploy.pruning import load_sparse
+            from ..models.captioner import captioner_init
+
+            template = captioner_init(jax.random.PRNGKey(0), cfg)
+            params = [load_sparse(lp, template) for lp in args.load_path]
+        else:
+            params = [load_checkpoint(lp)["params"] for lp in args.load_path]
         params = params[0] if len(params) == 1 else params
     else:
         from ..config import ModelConfig, SwinConfig
@@ -258,7 +269,14 @@ def main(argv=None):
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
         cfg = remove_layers(cfg, args.param_config)
-        params = [load_params(lp, cfg) for lp in args.load_path]
+        if args.load_pruned:
+            from ..deploy.pruning import load_sparse
+            from ..models import end_to_end
+
+            template = end_to_end.init(jax.random.PRNGKey(0), cfg)
+            params = [load_sparse(lp, template) for lp in args.load_path]
+        else:
+            params = [load_params(lp, cfg) for lp in args.load_path]
         params = params[0] if len(params) == 1 else params
 
     if args.quantize != "none":

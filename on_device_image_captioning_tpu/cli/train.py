@@ -41,7 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--drop_other", type=float, default=0.1)
     p.add_argument("--param_config", type=int, default=0, choices=[0, 1, 2])
     # optimization (reference train.py:657-669)
-    p.add_argument("--optim_type", choices=["adam", "radam"], default="adam")
+    p.add_argument("--optim_type", choices=["adam", "radam", "adamw"],
+                   default="adam")
     p.add_argument("--sched_type", choices=["annealing", "custom_warmup_anneal"],
                    default="annealing")
     p.add_argument("--lr", type=float, default=2e-4)
@@ -221,6 +222,8 @@ def main(argv=None):
         )
     if args.optim_type == "radam":
         base_opt = radam_mod.radam(sched, b1=0.9, b2=0.98, eps=1e-9)
+    elif args.optim_type == "adamw":
+        base_opt = optax.adamw(sched)  # reference optims/radam.py:240-319
     else:
         base_opt = optax.adam(sched)
     opt = train_step.with_grad_accum(base_opt, args.num_accum)

@@ -251,3 +251,35 @@ def test_generate_features_and_end_to_end_evaluate(tmp_path):
          "--num_exp_dec", "4", *swin_flags]
     )
     assert rc == 0
+
+
+def test_evaluate_pruned_checkpoint(corpus, tmp_path):
+    """--load_pruned evaluates a sparse checkpoint (reference test.py:455-459)."""
+    import jax
+
+    from on_device_image_captioning_tpu.cli import evaluate as eval_cli
+    from on_device_image_captioning_tpu.config import CaptionerConfig
+    from on_device_image_captioning_tpu.data.datasets import load_coco_karpathy
+    from on_device_image_captioning_tpu.deploy.pruning import (
+        global_l1_prune,
+        save_sparse,
+    )
+    from on_device_image_captioning_tpu.models import captioner as cap_mod
+
+    ds = load_coco_karpathy(corpus["ann"], dict_min_occurrences=1)
+    cfg = CaptionerConfig(
+        d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
+        num_exp_dec=4, vocab_size=len(ds.vocab), max_seq_len=12,
+        img_feature_dim=FEAT_DIM,
+    )
+    params = cap_mod.captioner_init(jax.random.PRNGKey(0), cfg)
+    pruned = global_l1_prune(params, 0.5)
+    sparse_path = str(tmp_path / "pruned.npz")
+    save_sparse(sparse_path, pruned)
+    rc = eval_cli.main(
+        ["--dataset", "coco", "--annotations", corpus["ann"],
+         "--features_path", corpus["features"], "--load_path", sparse_path,
+         "--load_pruned", "--split", "test", "--beam_sizes", "2",
+         "--batch_size", "2", "--max_seq_len", "12", *TINY_FLAGS]
+    )
+    assert rc == 0
