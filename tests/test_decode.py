@@ -150,3 +150,61 @@ def test_sampling_bookkeeping(tiny_params):
         assert caps[r // 3][r % 3] == toks[r, : lengths[r] + 1].tolist()
     # logprob of SOS position is 0
     assert (lps[:, 0] == 0).all()
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+def test_beam_search_parity_fuzz(reference_path, seed):
+    """Fuzz: random tiny models + random beam/eos configs must stay
+    token-for-token identical to the reference beam search."""
+    import torch
+    from argparse import Namespace
+    from models.ExpansionNet_v2 import ExpansionNet_v2
+
+    from on_device_image_captioning_tpu.params import torch_convert as tc
+
+    rng = np.random.default_rng(seed)
+    torch.manual_seed(seed)
+    cfg = CaptionerConfig(
+        d_model=16 * int(rng.integers(1, 3)),
+        N_enc=int(rng.integers(1, 3)),
+        N_dec=int(rng.integers(1, 3)),
+        ff=32, num_heads=4,
+        num_exp_enc_list=(int(rng.integers(2, 5)), int(rng.integers(4, 9))),
+        num_exp_dec=int(rng.integers(2, 6)),
+        vocab_size=int(rng.integers(20, 60)),
+        max_seq_len=24, img_feature_dim=int(rng.integers(8, 25)),
+    )
+    drop = Namespace(enc=0.0, dec=0.0, enc_input=0.0, dec_input=0.0, other=0.0)
+    ref = ExpansionNet_v2(
+        d_model=cfg.d_model, N_enc=cfg.N_enc, N_dec=cfg.N_dec, ff=cfg.ff,
+        num_heads=cfg.num_heads, num_exp_enc_list=list(cfg.num_exp_enc_list),
+        num_exp_dec=cfg.num_exp_dec,
+        output_word2idx={f"w{i}": i for i in range(cfg.vocab_size)},
+        output_idx2word=[f"w{i}" for i in range(cfg.vocab_size)],
+        max_seq_len=cfg.max_seq_len, drop_args=drop,
+        img_feature_dim=cfg.img_feature_dim, rank="cpu",
+    )
+    ref.eval()
+    sos = int(rng.integers(0, cfg.vocab_size))
+    eos = int(rng.integers(0, cfg.vocab_size))
+    beam = int(rng.integers(2, 6))
+    max_len = int(rng.integers(6, 20))
+    captioner = _ref_captioner(
+        reference_path, ref,
+        {"sos_idx": sos, "eos_idx": eos, "beam_size": beam,
+         "how_many_outputs": 1, "beam_max_seq_len": max_len},
+    )
+    feats = rng.standard_normal((2, 5, cfg.img_feature_dim), dtype=np.float32)
+    with torch.no_grad():
+        ref_caps, _ = captioner(
+            torch.from_numpy(feats), enc_x_num_pads=[0, 0], mode="beam_search"
+        )
+    params = tc.to_jax(tc.convert_captioner(tc.strip_prefixes(ref.state_dict()), cfg))
+    cross = cap.forward_enc(params, cfg, feats)
+    res = bs.beam_search(
+        params, cfg, cross,
+        DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=max_len,
+                     sos_idx=sos, eos_idx=eos),
+    )
+    got_caps, _ = bs.captions_from_result(res)
+    assert got_caps == ref_caps, (seed, sos, eos, beam, max_len)
