@@ -1,0 +1,85 @@
+"""Parallelism tests on the 8-device virtual CPU mesh: sharded-batch inference
+equals single-device results, TP-sharded params keep the forward exact, and the
+sharding rules hit the intended weights."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from on_device_image_captioning_tpu.config import CaptionerConfig, DecodeConfig
+from on_device_image_captioning_tpu.decode import beam_search as bs
+from on_device_image_captioning_tpu.models import captioner as cap
+from on_device_image_captioning_tpu.parallel import mesh as pm
+
+TINY = CaptionerConfig(
+    d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
+    num_exp_dec=4, vocab_size=48, max_seq_len=16, img_feature_dim=24,
+    sos_idx=2, eos_idx=3,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = cap.captioner_init(jax.random.PRNGKey(0), TINY)
+    feats = np.random.default_rng(0).standard_normal(
+        (8, 7, TINY.img_feature_dim), dtype=np.float32
+    )
+    return params, feats
+
+
+def test_dp_sharded_beam_decode_matches_single_device(setup):
+    """The serving path under pure data parallelism: batch sharded on the 'data'
+    axis across 8 devices must caption identically to one device."""
+    params, feats = setup
+    dcfg = DecodeConfig(beam_size=3, how_many_outputs=1, max_seq_len=12,
+                        sos_idx=2, eos_idx=3)
+
+    def decode(params, feats):
+        enc = cap.forward_enc(params, TINY, feats)
+        res = bs.beam_search(params, TINY, enc, dcfg)
+        return res.tokens, res.lengths
+
+    base_toks, base_lens = jax.jit(decode)(params, jnp.asarray(feats))
+
+    mesh = pm.make_mesh(n_data=8, n_model=1)
+    params_sh = pm.shard_params(params, mesh)
+    feats_sh = jax.device_put(
+        jnp.asarray(feats), NamedSharding(mesh, P("data", None, None))
+    )
+    toks, lens = jax.jit(decode)(params_sh, feats_sh)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(base_toks))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(base_lens))
+
+
+def test_tp_sharded_forward_exact(setup):
+    """Megatron-style TP on FFN/vocab weights must not change the forward."""
+    params, feats = setup
+    toks = np.random.default_rng(1).integers(0, TINY.vocab_size, (8, 5)).astype(
+        np.int32
+    )
+
+    def fwd(params, feats, toks):
+        return cap.forward(params, TINY, feats, toks, apply_log_softmax=True)
+
+    base = jax.jit(fwd)(params, jnp.asarray(feats), jnp.asarray(toks))
+
+    mesh = pm.make_mesh(n_data=4, n_model=2)
+    params_sh = pm.shard_params(params, mesh)
+    batch = pm.shard_batch({"f": jnp.asarray(feats), "t": jnp.asarray(toks)}, mesh)
+    got = jax.jit(fwd)(params_sh, batch["f"], batch["t"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_param_specs_hit_tp_targets(setup):
+    params, _ = setup
+    specs = pm.param_specs(params)
+    assert specs["decoders"][0]["ff"]["linear_1"]["w"] == P(None, "model")
+    assert specs["decoders"][0]["ff"]["linear_2"]["w"] == P("model", None)
+    assert specs["vocab_linear"]["w"] == P(None, "model")
+    assert specs["out_embedder"]["embed"] == P("model", None)
+    # everything else replicated
+    assert specs["enc_reduce_norm"]["scale"] == P()
+    assert specs["decoders"][0]["mha"]["Wq"]["w"] == P()
