@@ -52,6 +52,18 @@ class DecState(NamedTuple):
     layers: List[LayerCache]
 
 
+# Dynamic-expansion step implementation: 'xla' (default) or 'pallas'
+# (ops/dyn_exp_step.py — one fused kernel per layer per token with in-place
+# cache updates). Process-wide toggle, mirroring models.common.set_layernorm_impl.
+_DYN_STEP_IMPL = "xla"
+
+
+def set_dyn_step_impl(impl: str) -> None:
+    global _DYN_STEP_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _DYN_STEP_IMPL = impl
+
+
 def init_state(
     params, cfg: CaptionerConfig, enc_output: jnp.ndarray, max_len: int,
     cache_dtype=jnp.float32,
@@ -105,6 +117,22 @@ def _dyn_exp_step(
     cb_i = linear(p["class_b_embed"], x2, dtype)
     q_i = p["query_exp"]["embed"][None] + cond[:, None]  # (B, E, d)
     bias_i = p["bias_exp"]["embed"][None] + cond[:, None]
+
+    if _DYN_STEP_IMPL == "pallas":
+        from ..ops.dyn_exp_step import dyn_exp_step_pallas
+
+        sel = jax.nn.sigmoid(
+            linear(p["selector_embed"], x2, dtype).astype(jnp.float32)
+        )
+        out, keys, ca, cb, queries, vals_a, vals_b = dyn_exp_step_pallas(
+            pos, q_i, bias_i, k_i, ca_i, cb_i, sel,
+            cache.keys, cache.ca, cache.cb, cache.queries, cache.vals_a,
+            cache.vals_b, eps=cfg.eps,
+        )
+        return out, cache._replace(
+            keys=keys, ca=ca, cb=cb, queries=queries, vals_a=vals_a,
+            vals_b=vals_b,
+        )
 
     cd = cache.keys.dtype
     keys = cache.keys.at[:, pos].set(k_i.astype(cd))

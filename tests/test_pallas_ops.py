@@ -127,3 +127,40 @@ def test_layernorm_impl_toggle():
     finally:
         common.set_layernorm_impl("xla")
     np.testing.assert_allclose(got, base, rtol=3e-5, atol=3e-5)
+
+
+def test_dyn_exp_step_kernel_matches_xla():
+    """Fused decode-step kernel equals the XLA incremental step at every position
+    (and therefore the full-prefix forward, by transitivity)."""
+    from on_device_image_captioning_tpu.config import CaptionerConfig
+    from on_device_image_captioning_tpu.decode import cache as dc
+    from on_device_image_captioning_tpu.models import captioner as cap
+
+    cfg = CaptionerConfig(
+        d_model=32, N_enc=1, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4,),
+        num_exp_dec=4, vocab_size=40, max_seq_len=12, img_feature_dim=16,
+    )
+    params = cap.captioner_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((3, 5, cfg.img_feature_dim), dtype=np.float32)
+    tokens = rng.integers(0, cfg.vocab_size, size=(3, 7)).astype(np.int32)
+    cross = cap.forward_enc(params, cfg, feats)
+
+    def run():
+        state = dc.init_state(params, cfg, cross, max_len=tokens.shape[1])
+        outs = []
+        for t in range(tokens.shape[1]):
+            lp, state = dc.dec_step(
+                params, cfg, state, jnp.asarray(tokens[:, t]), jnp.int32(t)
+            )
+            outs.append(np.asarray(lp))
+        return outs
+
+    base = run()
+    dc.set_dyn_step_impl("pallas")
+    try:
+        got = run()
+    finally:
+        dc.set_dyn_step_impl("xla")
+    for t, (a, b) in enumerate(zip(got, base)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=f"pos {t}")
