@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--prune_amount", type=float, default=0.33)
     parser.add_argument("--quantize", choices=["none", "w8", "w8a8"], default="none")
     parser.add_argument("--plot", type=str, default=None)
+    parser.add_argument("--trace", type=str, default=None,
+                        help="capture a jax.profiler device trace of the "
+                             "measurement loop into this directory "
+                             "(TensorBoard/XProf-loadable)")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--fp32", dest="bf16", action="store_false")
     args = parser.parse_args(argv)
@@ -109,6 +113,14 @@ def main(argv=None):
         )
     )
     params = jax.device_put(params)
+    if args.trace:
+        from ..utils.profiling import trace
+
+        with trace(args.trace):
+            times = measure_latency(
+                lambda p, x: caption(p, x), (params, imgs), min(args.runs, 5)
+            )
+        print(f"trace written to {args.trace}", flush=True)
     times = measure_latency(lambda p, x: caption(p, x), (params, imgs), args.runs)
     results["latency_s"] = {
         "mean": float(times.mean()), "p50": float(np.percentile(times, 50)),

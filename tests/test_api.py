@@ -81,3 +81,31 @@ def test_ensemble_api(feats):
     caps, lps = ens(feats)
     assert len(caps) == 2
     assert caps[0][0][0] == TINY.sos_idx
+
+
+def test_captioner_end_to_end_model():
+    """The mode-dispatch API over the full end-to-end (image-input) model."""
+    from on_device_image_captioning_tpu.config import ModelConfig, SwinConfig
+    from on_device_image_captioning_tpu.models import end_to_end
+
+    cfg = ModelConfig(
+        swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+                        num_heads=(2, 4), window_size=4),
+        captioner=CaptionerConfig(
+            d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4,
+            num_exp_enc_list=(4, 8), num_exp_dec=4, vocab_size=50,
+            max_seq_len=20, img_feature_dim=32, sos_idx=2, eos_idx=3,
+        ),
+    )
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    c = Captioner(params, cfg, {"beam_size": 2, "beam_max_seq_len": 8,
+                                "sample_max_seq_len": 6, "how_many_outputs": 2})
+    imgs = np.random.default_rng(0).standard_normal((2, 32, 32, 3),
+                                                    dtype=np.float32)
+    caps, _ = c(imgs, mode="beam_search")
+    assert len(caps) == 2 and caps[0][0][0] == 2
+    toks = np.zeros((2, 4), np.int32)
+    out = c(imgs, dec_x=toks, mode="forward")
+    assert out.shape == (2, 4, 50)
+    caps, _ = c(imgs, mode="sampling", rng=jax.random.PRNGKey(1))
+    assert len(caps[0]) == 2
