@@ -144,10 +144,12 @@ class Captioner:
     @functools.lru_cache(maxsize=8)
     def _sample_fn(self, n: int, max_len: int):
         cap_cfg = self.cap_cfg
+        dtype = self.cfg.compute_dtype if self.end_to_end else None
         a = self.beam_search_args
         return jax.jit(
             lambda p, c, r: smp.sample(
-                p, cap_cfg, c, n, max_len, r, a["sos_idx"], a["eos_idx"]
+                p, cap_cfg, c, n, max_len, r, a["sos_idx"], a["eos_idx"],
+                dtype=dtype,
             )
         )
 

@@ -47,8 +47,9 @@ def main(argv=None):
     parser.add_argument("--quantize", choices=["none", "w8", "w8a8"], default="none")
     parser.add_argument("--plot", type=str, default=None)
     parser.add_argument("--trace", type=str, default=None,
-                        help="capture a jax.profiler device trace of the "
-                             "measurement loop into this directory "
+                        help="capture a short jax.profiler device trace (compile "
+                             "+ warmup + up to 5 runs) into this directory "
+                             "before the untraced measurement loop "
                              "(TensorBoard/XProf-loadable)")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--fp32", dest="bf16", action="store_false")
@@ -117,11 +118,9 @@ def main(argv=None):
         from ..utils.profiling import trace
 
         with trace(args.trace):
-            times = measure_latency(
-                lambda p, x: caption(p, x), (params, imgs), min(args.runs, 5)
-            )
+            measure_latency(caption, (params, imgs), min(args.runs, 5))
         print(f"trace written to {args.trace}", flush=True)
-    times = measure_latency(lambda p, x: caption(p, x), (params, imgs), args.runs)
+    times = measure_latency(caption, (params, imgs), args.runs)
     results["latency_s"] = {
         "mean": float(times.mean()), "p50": float(np.percentile(times, 50)),
         "p90": float(np.percentile(times, 90)), "min": float(times.min()),

@@ -88,14 +88,12 @@ def test_captioner_end_to_end_model():
     from on_device_image_captioning_tpu.config import ModelConfig, SwinConfig
     from on_device_image_captioning_tpu.models import end_to_end
 
+    import dataclasses
+
     cfg = ModelConfig(
         swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
                         num_heads=(2, 4), window_size=4),
-        captioner=CaptionerConfig(
-            d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4,
-            num_exp_enc_list=(4, 8), num_exp_dec=4, vocab_size=50,
-            max_seq_len=20, img_feature_dim=32, sos_idx=2, eos_idx=3,
-        ),
+        captioner=dataclasses.replace(TINY, img_feature_dim=32),
     )
     params = end_to_end.init(jax.random.PRNGKey(0), cfg)
     c = Captioner(params, cfg, {"beam_size": 2, "beam_max_seq_len": 8,
