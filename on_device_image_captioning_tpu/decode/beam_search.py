@@ -109,8 +109,28 @@ def ensemble_beam_search(
 
 
 def _gather_rows(state, indices: jnp.ndarray):
-    """Reorder the leading batch axis of every array leaf (beam reshuffle)."""
+    """Reorder the leading batch axis of every array leaf (used once to expand
+    the per-image state to per-beam rows)."""
     return jax.tree.map(lambda a: jnp.take(a, indices, axis=0), state)
+
+
+def _gather_beam_rows(state, indices: jnp.ndarray):
+    """In-loop beam reshuffle: like _gather_rows but skips the cross-attention
+    K/V caches — `indices` only permutes rows within each image's beam group and
+    those caches are identical across a group (expanded from one encoder output)
+    and never written, so gathering them would be pure HBM traffic."""
+
+    def gather_cache(lc: dc.LayerCache):
+        take = lambda a: jnp.take(a, indices, axis=0)
+        return lc._replace(
+            keys=take(lc.keys), ca=take(lc.ca), cb=take(lc.cb),
+            queries=take(lc.queries), vals_a=take(lc.vals_a),
+            vals_b=take(lc.vals_b),
+        )
+
+    return jax.tree.map(
+        gather_cache, state, is_leaf=lambda x: isinstance(x, dc.LayerCache)
+    )
 
 
 def beam_loop(
@@ -214,7 +234,7 @@ def beam_loop(
         flat_gather = (
             jnp.arange(b, dtype=jnp.int32)[:, None] * k + which_seq
         ).reshape(b * k)
-        new_state = _gather_rows(state, flat_gather)
+        new_state = _gather_beam_rows(state, flat_gather)
 
         return Carry(
             t + 1, new_tokens, new_logprobs, new_cumul, new_num_elem, new_finished,
