@@ -113,8 +113,10 @@ class Captioner:
             sos_idx=a["sos_idx"], eos_idx=a["eos_idx"],
         )
         cross = self.forward_enc(enc_x, enc_x_num_pads)
+        pads = None if enc_x_num_pads is None else jnp.asarray(enc_x_num_pads)
         res = self._beam_fn(dcfg)(self._dec_params, cross,
-                                  rng if rng is not None else jax.random.PRNGKey(0))
+                                  rng if rng is not None else jax.random.PRNGKey(0),
+                                  pads)
         return bs.captions_from_result(res)
 
     def sample(self, enc_x, enc_x_num_pads=None, rng=None):
@@ -122,9 +124,11 @@ class Captioner:
         n = a.get("how_many_outputs", 1)
         max_len = a.get("sample_max_seq_len", 20)
         cross = self.forward_enc(enc_x, enc_x_num_pads)
+        pads = None if enc_x_num_pads is None else jnp.asarray(enc_x_num_pads)
         res = self._sample_fn(n, max_len)(
             self._dec_params, cross,
             rng if rng is not None else jax.random.PRNGKey(0),
+            pads,
         )
         caps = smp.captions_from_result(res)
         return caps, res.logprobs
@@ -138,7 +142,9 @@ class Captioner:
         cap_cfg = self.cap_cfg
         dtype = self.cfg.compute_dtype if self.end_to_end else None
         return jax.jit(
-            lambda p, c, r: bs.beam_search(p, cap_cfg, c, dcfg, rng=r, dtype=dtype)
+            lambda p, c, r, pads: bs.beam_search(
+                p, cap_cfg, c, dcfg, rng=r, dtype=dtype, enc_num_pads=pads
+            )
         )
 
     @functools.lru_cache(maxsize=8)
@@ -147,9 +153,9 @@ class Captioner:
         dtype = self.cfg.compute_dtype if self.end_to_end else None
         a = self.beam_search_args
         return jax.jit(
-            lambda p, c, r: smp.sample(
+            lambda p, c, r, pads: smp.sample(
                 p, cap_cfg, c, n, max_len, r, a["sos_idx"], a["eos_idx"],
-                dtype=dtype,
+                dtype=dtype, enc_num_pads=pads,
             )
         )
 
@@ -182,5 +188,8 @@ class EnsembleCaptioner:
         res = bs.ensemble_beam_search(
             params_list, self.cap_cfg, encs, dcfg,
             rng=rng if rng is not None else jax.random.PRNGKey(0),
+            enc_num_pads=(
+                None if enc_x_num_pads is None else jnp.asarray(enc_x_num_pads)
+            ),
         )
         return bs.captions_from_result(res)

@@ -55,14 +55,20 @@ def beam_search(
     decode_cfg: DecodeConfig,
     rng: Optional[jax.Array] = None,
     dtype=None,
+    enc_num_pads: Optional[jnp.ndarray] = None,
 ) -> BeamResult:
     """Single-model beam search. enc_output: (B, S_enc, d_model). Jittable.
 
     When `dtype` selects bf16 compute, the decoder caches are stored bf16 too
-    (halves decode HBM traffic; see decode/cache.py)."""
+    (halves decode HBM traffic; see decode/cache.py).
+
+    enc_num_pads: (B,) trailing pad-row counts for heterogeneous feature batches
+    (the reference expands enc masks beam-wise at
+    models/captioning_model.py:239-281)."""
     cache_dtype = dtype if dtype is not None else jnp.float32
     state = dc.init_state(
-        params, cfg, enc_output, decode_cfg.max_seq_len, cache_dtype
+        params, cfg, enc_output, decode_cfg.max_seq_len, cache_dtype,
+        enc_num_pads=enc_num_pads,
     )
 
     def step_fn(state, tokens, pos):
@@ -80,6 +86,7 @@ def ensemble_beam_search(
     decode_cfg: DecodeConfig,
     rng: Optional[jax.Array] = None,
     dtype=None,
+    enc_num_pads: Optional[jnp.ndarray] = None,
 ) -> BeamResult:
     """Ensemble decode: per-model decoder states; the step log-probs are
     log(mean_i softmax(logits_i)) (reference
@@ -88,7 +95,8 @@ def ensemble_beam_search(
     """
     cache_dtype = dtype if dtype is not None else jnp.float32
     states = [
-        dc.init_state(p, cfg, e, decode_cfg.max_seq_len, cache_dtype)
+        dc.init_state(p, cfg, e, decode_cfg.max_seq_len, cache_dtype,
+                      enc_num_pads=enc_num_pads)
         for p, e in zip(params_list, enc_outputs)
     ]
 
@@ -116,16 +124,19 @@ def _gather_rows(state, indices: jnp.ndarray):
 
 def _gather_beam_rows(state, indices: jnp.ndarray):
     """In-loop beam reshuffle: like _gather_rows but skips the cross-attention
-    K/V caches — `indices` only permutes rows within each image's beam group and
-    those caches are identical across a group (expanded from one encoder output)
-    and never written, so gathering them would be pure HBM traffic."""
+    K/V caches and the encoder pad mask — `indices` only permutes rows within
+    each image's beam group and those are identical across a group (expanded
+    from one encoder output) and never written, so gathering them would be pure
+    HBM traffic."""
 
-    def gather_cache(lc: dc.LayerCache):
+    def gather_cache(node):
+        if not isinstance(node, dc.LayerCache):
+            return node  # e.g. DecState.enc_mask: beam-invariant, skip
         take = lambda a: jnp.take(a, indices, axis=0)
-        return lc._replace(
-            keys=take(lc.keys), ca=take(lc.ca), cb=take(lc.cb),
-            queries=take(lc.queries), vals_a=take(lc.vals_a),
-            vals_b=take(lc.vals_b),
+        return node._replace(
+            keys=take(node.keys), ca=take(node.ca), cb=take(node.cb),
+            queries=take(node.queries), vals_a=take(node.vals_a),
+            vals_b=take(node.vals_b),
         )
 
     return jax.tree.map(

@@ -26,7 +26,7 @@ and runs inside lax.while_loop / lax.scan.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, NamedTuple
+from typing import Any, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,11 @@ class LayerCache(NamedTuple):
 
 class DecState(NamedTuple):
     layers: List[LayerCache]
+    # (B, S) bool, True where the encoder token is real — cross-attention mask
+    # for padded feature rows (reference models/captioning_model.py:239-281
+    # threads enc masks through beam search). None = no encoder pads (Swin
+    # stores always emit 144 real tokens).
+    enc_mask: Optional[jnp.ndarray] = None
 
 
 # Dynamic-expansion step implementation: 'xla' (default) or 'pallas'
@@ -66,7 +71,7 @@ def set_dyn_step_impl(impl: str) -> None:
 
 def init_state(
     params, cfg: CaptionerConfig, enc_output: jnp.ndarray, max_len: int,
-    cache_dtype=jnp.float32,
+    cache_dtype=jnp.float32, enc_num_pads: Optional[jnp.ndarray] = None,
 ) -> DecState:
     """Allocate zeroed caches and precompute cross-attention K/V per layer.
 
@@ -74,8 +79,18 @@ def init_state(
     HBM traffic (each step reads the full (B, L, E, d) query/value caches and the
     beam reshuffle rewrites them), so bf16 storage halves decode bandwidth;
     normalizations and accumulations stay fp32 either way.
+
+    enc_num_pads: (B,) count of trailing pad rows in enc_output (heterogeneous
+    feature-store batches — reference data/coco_dataloader.py:437-478); builds
+    the cross-attention mask carried by the state.
     """
     b = enc_output.shape[0]
+    enc_mask = None
+    if enc_num_pads is not None:
+        s = enc_output.shape[1]
+        enc_mask = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1) < (
+            s - enc_num_pads.astype(jnp.int32)
+        ).reshape(b, 1)
     d, e = cfg.d_model, cfg.num_exp_dec
     layers = []
     for i in range(cfg.N_dec):
@@ -92,7 +107,7 @@ def init_state(
                 v_cross=linear(mha["Wv"], enc_output).astype(cache_dtype),
             )
         )
-    return DecState(layers=layers)
+    return DecState(layers=layers, enc_mask=enc_mask)
 
 
 def _dyn_exp_step(
@@ -183,11 +198,17 @@ def _dyn_exp_step(
 
 
 def _cross_attention_step(
-    p, cfg: CaptionerConfig, cache: LayerCache, x2: jnp.ndarray, dtype=None
+    p,
+    cfg: CaptionerConfig,
+    cache: LayerCache,
+    x2: jnp.ndarray,
+    enc_mask: Optional[jnp.ndarray] = None,
+    dtype=None,
 ) -> jnp.ndarray:
     """Single-query cross-attention against the cached encoder K/V
-    (reference models/layers.py:266-295; no mask — encoder side has no pads on the
-    end-to-end path, and padded feature rows are handled by the caller's mask)."""
+    (reference models/layers.py:266-295). enc_mask (B, S) masks padded feature
+    rows with the same -1e4 fill as the full forward's MHA, so incremental and
+    teacher-forced decoding agree on padded stores."""
     b, d = x2.shape
     h, dk = cfg.num_heads, cfg.head_dim
     s = cache.k_cross.shape[1]
@@ -197,6 +218,8 @@ def _cross_attention_step(
     scores = jnp.einsum("bhd,bshd->bhs", q, k, preferred_element_type=jnp.float32) / (
         dk**0.5
     )
+    if enc_mask is not None:
+        scores = jnp.where(enc_mask[:, None, :], scores, cfg.attn_fill)
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhs,bshd->bhd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -233,7 +256,7 @@ def dec_step(
         dyn, cache = _dyn_exp_step(lp["dyn_exp"], cfg, cache, x2, pos, dtype)
         y = y + dyn
         x2 = layernorm(lp["norm_2"], y, cfg.ln_eps)
-        y = y + _cross_attention_step(lp["mha"], cfg, cache, x2, dtype)
+        y = y + _cross_attention_step(lp["mha"], cfg, cache, x2, state.enc_mask, dtype)
         x2 = layernorm(lp["norm_3"], y, cfg.ln_eps)
         h = jax.nn.relu(linear(lp["ff"]["linear_1"], x2, dtype))
         y = y + linear(lp["ff"]["linear_2"], h, dtype)
@@ -245,7 +268,7 @@ def dec_step(
     y = layernorm(params["dec_reduce_norm"], y, cfg.ln_eps)
     logits = linear(params["vocab_linear"], y, dtype)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return log_probs, DecState(layers=new_layers)
+    return log_probs, DecState(layers=new_layers, enc_mask=state.enc_mask)
 
 
 def gather_beams(state: DecState, indices: jnp.ndarray) -> DecState:
@@ -255,4 +278,7 @@ def gather_beams(state: DecState, indices: jnp.ndarray) -> DecState:
     (batch, beam) layout).
     """
     take = lambda a: jnp.take(a, indices, axis=0)
-    return DecState(layers=[LayerCache(*map(take, lc)) for lc in state.layers])
+    return DecState(
+        layers=[LayerCache(*map(take, lc)) for lc in state.layers],
+        enc_mask=None if state.enc_mask is None else take(state.enc_mask),
+    )

@@ -34,8 +34,11 @@ def sample(
     sos_idx: int,
     eos_idx: int,
     dtype=None,
+    enc_num_pads=None,
 ) -> SampleResult:
-    """enc_output: (B, S_enc, d_model). Jittable, static shapes."""
+    """enc_output: (B, S_enc, d_model). Jittable, static shapes.
+
+    enc_num_pads: (B,) trailing pad-row counts for padded feature batches."""
     b = enc_output.shape[0]
     n = b * num_outputs
     L = max_seq_len
@@ -44,7 +47,8 @@ def sample(
     rep = jnp.repeat(jnp.arange(b, dtype=jnp.int32), num_outputs)
     enc_rep = jnp.take(enc_output, rep, axis=0)
     state = dc.init_state(
-        params, cfg, enc_rep, L + 1, dtype if dtype is not None else jnp.float32
+        params, cfg, enc_rep, L + 1, dtype if dtype is not None else jnp.float32,
+        enc_num_pads=None if enc_num_pads is None else jnp.take(enc_num_pads, rep, axis=0),
     )
 
     class Carry(NamedTuple):

@@ -127,9 +127,11 @@ def make_scst_step(
                 enc_num_pads=batch.get("enc_num_pads"),
             )
         enc_rep = jnp.repeat(enc, n, axis=0)
+        enc_pads = batch.get("enc_num_pads")
         logits = cap.forward_dec(
             params["captioner"] if end_to_end_model else params,
             cap_cfg, enc_rep, flat[:, :-1], apply_log_softmax=True,
+            enc_num_pads=None if enc_pads is None else jnp.repeat(enc_pads, n, axis=0),
             dtype=(model_cfg.compute_dtype if end_to_end_model else None),
         )  # (B*N, L, V)
         step_lp = jnp.take_along_axis(logits, flat[:, 1:, None], axis=-1)[..., 0]

@@ -125,6 +125,89 @@ def test_beam_search_parity(reference_path, beam_size, max_len):
             np.testing.assert_allclose(got_lps[i][j], ref_row, rtol=1e-4, atol=1e-4)
 
 
+def test_beam_padded_features_match_unpadded(tiny_params):
+    """Decoding a batch whose feature rows carry trailing pad junk (with
+    enc_num_pads set) must caption identically to decoding the truncated,
+    unpadded features — the invariance the reference gets by threading enc
+    masks through beam search (reference models/captioning_model.py:239-281)."""
+    rng = np.random.default_rng(7)
+    s_valid = 6
+    feats = rng.standard_normal((2, s_valid, TINY.img_feature_dim), dtype=np.float32)
+    junk = 100.0 * rng.standard_normal((2, 4, TINY.img_feature_dim), dtype=np.float32)
+    padded = np.concatenate([feats, junk], axis=1)  # (2, 10, F)
+    pads = jnp.asarray([4, 4], jnp.int32)
+
+    dcfg = DecodeConfig(beam_size=3, how_many_outputs=3, max_seq_len=14,
+                        sos_idx=2, eos_idx=3)
+
+    cross = cap.forward_enc(tiny_params, TINY, feats)
+    base = bs.beam_search(tiny_params, TINY, cross, dcfg)
+    base_caps, base_lps = bs.captions_from_result(base)
+
+    cross_p = cap.forward_enc(tiny_params, TINY, padded, enc_num_pads=pads)
+    got = jax.jit(
+        lambda p, c, n: bs.beam_search(p, TINY, c, dcfg, enc_num_pads=n)
+    )(tiny_params, cross_p, pads)
+    got_caps, got_lps = bs.captions_from_result(got)
+
+    assert got_caps == base_caps
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_allclose(got_lps[i][j], base_lps[i][j],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_beam_search_parity_heterogeneous_pads(reference_path):
+    """Token-for-token beam parity vs the reference on a batch of
+    heterogeneous-length feature rows (enc_x_num_pads=[0, 2, 4]) — the padded
+    feature-store path (reference data/coco_dataloader.py:437-478)."""
+    import torch
+    from argparse import Namespace
+    from models.ExpansionNet_v2 import ExpansionNet_v2
+
+    from on_device_image_captioning_tpu.params import torch_convert as tc
+
+    torch.manual_seed(9)
+    drop = Namespace(enc=0.0, dec=0.0, enc_input=0.0, dec_input=0.0, other=0.0)
+    ref = ExpansionNet_v2(
+        d_model=TINY.d_model, N_enc=TINY.N_enc, N_dec=TINY.N_dec, ff=TINY.ff,
+        num_heads=TINY.num_heads, num_exp_enc_list=list(TINY.num_exp_enc_list),
+        num_exp_dec=TINY.num_exp_dec,
+        output_word2idx={f"w{i}": i for i in range(TINY.vocab_size)},
+        output_idx2word=[f"w{i}" for i in range(TINY.vocab_size)],
+        max_seq_len=TINY.max_seq_len, drop_args=drop,
+        img_feature_dim=TINY.img_feature_dim, rank="cpu",
+    )
+    ref.eval()
+    sos, eos, beam_size, max_len = 2, 3, 3, 12
+    pads = [0, 2, 4]
+    captioner = _ref_captioner(
+        reference_path, ref,
+        {"sos_idx": sos, "eos_idx": eos, "beam_size": beam_size,
+         "how_many_outputs": beam_size, "beam_max_seq_len": max_len},
+    )
+
+    rng = np.random.default_rng(13)
+    feats = rng.standard_normal((3, 9, TINY.img_feature_dim), dtype=np.float32)
+    with torch.no_grad():
+        ref_caps, _ = captioner(
+            torch.from_numpy(feats), enc_x_num_pads=pads, mode="beam_search"
+        )
+
+    params = tc.to_jax(tc.convert_captioner(tc.strip_prefixes(ref.state_dict()), TINY))
+    pads_j = jnp.asarray(pads, jnp.int32)
+    cross = cap.forward_enc(params, TINY, feats, enc_num_pads=pads_j)
+    dcfg = DecodeConfig(
+        beam_size=beam_size, how_many_outputs=beam_size, max_seq_len=max_len,
+        sos_idx=sos, eos_idx=eos,
+    )
+    res = jax.jit(
+        lambda p, c, n: bs.beam_search(p, TINY, c, dcfg, enc_num_pads=n)
+    )(params, cross, pads_j)
+    got_caps, _ = bs.captions_from_result(res)
+    assert got_caps == ref_caps
+
+
 def test_sampling_bookkeeping(tiny_params):
     rng = np.random.default_rng(5)
     feats = rng.standard_normal((2, 7, TINY.img_feature_dim), dtype=np.float32)
