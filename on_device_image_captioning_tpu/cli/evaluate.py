@@ -33,10 +33,16 @@ def build_dataset(args):
 def evaluate_split(
     params, cfg, dataset, split: str, beam_size: int, batch_size: int,
     max_seq_len: int, features_path: str | None = None, verbose: bool = True,
+    mesh=None,
 ):
     """Decode every image of a split and score. Returns (scores, predictions).
 
     (reference test.py:141-275 evaluate_model; sub-batching at :166-197.)
+
+    mesh: optional jax.sharding.Mesh — batches are sharded on its 'data' axis and
+    params placed per parallel/mesh.py rules, so an 8-chip host decodes 8-way
+    data-parallel (the reference spawns one eval process per GPU,
+    test.py:540-558).
     """
     from ..config import DecodeConfig
     from ..data.features_io import FeatureStore
@@ -44,6 +50,7 @@ def evaluate_split(
     from ..evalcap.harness import evaluate_captions
     from ..models import captioner as cap_mod
     from ..models import end_to_end
+    from ..parallel import mesh as pm
     from ..utils.image import normalize_on_device, preprocess_batch
 
     vocab = dataset.vocab
@@ -54,12 +61,23 @@ def evaluate_split(
         beam_size=beam_size, how_many_outputs=1, max_seq_len=max_seq_len,
         sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx,
     )
+    if mesh is not None:
+        params = (
+            [pm.shard_params(p, mesh) for p in params]
+            if ensemble
+            else pm.shard_params(params, mesh)
+        )
+
+    def put(arrays: dict) -> dict:
+        return pm.shard_batch(arrays, mesh) if mesh is not None else jax.tree.map(
+            jnp.asarray, arrays
+        )
 
     if end2end:
         if ensemble:
 
             @jax.jit
-            def decode_batch(params_list, images_u8):
+            def decode_batch(params_list, images_u8, pads):
                 x = normalize_on_device(images_u8)
                 encs = [end_to_end.forward_enc(p, cfg, x) for p in params_list]
                 return bs.ensemble_beam_search(
@@ -70,7 +88,7 @@ def evaluate_split(
         else:
 
             @jax.jit
-            def decode_batch(params, images_u8):
+            def decode_batch(params, images_u8, pads):
                 x = normalize_on_device(images_u8)
                 enc = end_to_end.forward_enc(params, cfg, x)
                 return bs.beam_search(
@@ -82,16 +100,21 @@ def evaluate_split(
         if ensemble:
 
             @jax.jit
-            def decode_batch(params_list, feats):
-                encs = [cap_mod.forward_enc(p, cfg, feats) for p in params_list]
-                return bs.ensemble_beam_search(params_list, cfg, encs, dcfg)
+            def decode_batch(params_list, feats, pads):
+                encs = [
+                    cap_mod.forward_enc(p, cfg, feats, enc_num_pads=pads)
+                    for p in params_list
+                ]
+                return bs.ensemble_beam_search(
+                    params_list, cfg, encs, dcfg, enc_num_pads=pads
+                )
 
         else:
 
             @jax.jit
-            def decode_batch(params, feats):
-                enc = cap_mod.forward_enc(params, cfg, feats)
-                return bs.beam_search(params, cfg, enc, dcfg)
+            def decode_batch(params, feats, pads):
+                enc = cap_mod.forward_enc(params, cfg, feats, enc_num_pads=pads)
+                return bs.beam_search(params, cfg, enc, dcfg, enc_num_pads=pads)
 
     store = FeatureStore(features_path) if features_path else None
     predictions = {}
@@ -105,12 +128,15 @@ def evaluate_split(
             )
             if pad_rows:
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad_rows, 0)])
-            res = decode_batch(params, jnp.asarray(imgs))
+            res = decode_batch(params, put({"x": imgs})["x"], None)
         else:
-            feats, _ = store.read_batch([r["img_id"] for r in chunk])
+            feats, fpads = store.read_batch([r["img_id"] for r in chunk])
+            fpads = np.asarray(fpads, np.int32)
             if pad_rows:
                 feats = np.concatenate([feats, np.repeat(feats[-1:], pad_rows, 0)])
-            res = decode_batch(params, jnp.asarray(feats))
+                fpads = np.concatenate([fpads, np.repeat(fpads[-1:], pad_rows, 0)])
+            arrays = put({"f": feats, "p": fpads})
+            res = decode_batch(params, arrays["f"], arrays["p"])
         caps, _ = bs.captions_from_result(res)
         for r, row in zip(chunk, caps):
             predictions[r["img_id"]] = vocab.description(row[0]).lower()
@@ -219,6 +245,8 @@ def main(argv=None):
                              "deploy.pruning.save_sparse (reference "
                              "test.py:455-459)")
     parser.add_argument("--eval_loss", action="store_true")
+    parser.add_argument("--n_model", type=int, default=1,
+                        help="tensor-parallel mesh axis size (see cli/train.py)")
     args = parser.parse_args(argv)
 
     from ..config import CaptionerConfig, end_expansionnet_v2_coco, remove_layers
@@ -287,11 +315,16 @@ def main(argv=None):
         else:
             params = quantize_tree(params, args.quantize)
 
+    from ..parallel import mesh as pm
+
+    mesh = pm.make_default_mesh(args.batch_size, n_model=args.n_model)
+    if mesh.size > 1:
+        print(f"SPMD mesh {dict(mesh.shape)} over {mesh.size} devices", flush=True)
     for beam in args.beam_sizes:
         print(f"=== beam size {beam} ===", flush=True)
         scores, _ = evaluate_split(
             params, cfg, dataset, args.split, beam, args.batch_size,
-            args.max_seq_len, args.features_path,
+            args.max_seq_len, args.features_path, mesh=mesh,
         )
         for k, v in scores.items():
             print(f"{k}: {v:.4f}", flush=True)

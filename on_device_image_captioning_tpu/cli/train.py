@@ -91,11 +91,15 @@ def parse_args(argv=None):
                    help="multi-host SPMD: call jax.distributed.initialize() "
                         "(coordinator from JAX_COORDINATOR_ADDRESS etc.); the "
                         "loader shards by process index automatically")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel mesh axis size (Megatron-style "
+                        "sharding of FFN/vocab/QKV weights, parallel/mesh.py); "
+                        "1 = pure data parallelism like the reference's DDP")
     p.add_argument("--prefetch", type=int, default=0,
                    help="prefetch depth: overlap host batch materialization "
                         "(JPEG decode / HDF5 reads) with device compute; 0 = "
-                        "synchronous. NOTE: with prefetch, a resumed run may "
-                        "skip up to `depth` batches (the cursor runs ahead)")
+                        "synchronous. Checkpoints store the cursor of the last "
+                        "CONSUMED batch, so resume is exact either way")
     return p.parse_args(argv)
 
 
@@ -149,6 +153,7 @@ def main(argv=None):
     from ..data.text import Vocab
     from ..models import captioner as cap_mod
     from ..models import end_to_end
+    from ..parallel import mesh as pm
     from ..params import surgery
     from ..train import radam as radam_mod
     from ..train import schedules, train_step
@@ -260,6 +265,15 @@ def main(argv=None):
             )
             state = train_step.init_train_state(restored_params, opt)
 
+    # ---- SPMD placement (replaces the reference's mp.spawn + DDP,
+    # train.py:616-643, :450): batch sharded on the mesh 'data' axis, weights
+    # replicated (or TP-sharded with --n_model>1); XLA inserts the gradient
+    # all-reduce over ICI.
+    mesh = pm.make_default_mesh(args.batch_size, n_model=args.n_model)
+    state = pm.shard_train_state(state, mesh)
+    if mesh.size > 1:
+        print(f"SPMD mesh {dict(mesh.shape)} over {mesh.size} devices", flush=True)
+
     # ---- steps ------------------------------------------------------------
     xe_step = jax.jit(
         train_step.make_xe_step(cfg, opt, end_to_end_model=end2end,
@@ -277,18 +291,22 @@ def main(argv=None):
         from ..decode import sampling
 
         @jax.jit
-        def sample_batch(params, enc_input, rng):
+        def sample_batch(params, enc_input, rng, enc_num_pads=None):
             if end2end:
                 enc = end_to_end.forward_enc(params, cfg, enc_input)
             else:
-                enc = cap_mod.forward_enc(params, cfg, enc_input)
+                enc = cap_mod.forward_enc(
+                    params, cfg, enc_input, enc_num_pads=enc_num_pads
+                )
             return sampling.sample(
                 params["captioner"] if end2end else params, cap_cfg, enc,
                 args.num_samples, args.scst_max_len, rng,
                 vocab.sos_idx, vocab.eos_idx,
+                enc_num_pads=enc_num_pads,
             )
 
     def materialize_enc_input(batch):
+        """-> (enc_input, enc_num_pads or None)."""
         if end2end:
             if img_store is not None:
                 imgs = img_store.read_batch(loader.image_ids(batch["img_idxs"]))
@@ -296,9 +314,9 @@ def main(argv=None):
                 imgs = preprocess_batch(
                     loader.image_paths(batch["img_idxs"]), cfg.swin.img_size
                 )
-            return normalize_on_device(jnp.asarray(imgs))
+            return normalize_on_device(jnp.asarray(imgs)), None
         feats, pads = store.read_batch(loader.image_ids(batch["img_idxs"]))
-        return jnp.asarray(feats)
+        return jnp.asarray(feats), jnp.asarray(pads, jnp.int32)
 
     # ---- loop (reference train.py:47-302) ---------------------------------
     from ..utils.profiling import MetricsLogger, StepTimer
@@ -317,10 +335,13 @@ def main(argv=None):
         flush=True,
     )
     def materialize(batch):
-        arrays = {"enc_input": materialize_enc_input(batch)}
+        enc_input, enc_pads = materialize_enc_input(batch)
+        arrays = {"enc_input": enc_input}
+        if enc_pads is not None:
+            arrays["enc_num_pads"] = enc_pads
         if "captions" in batch:
             arrays["captions"] = jnp.asarray(batch["captions"], jnp.int32)
-        return arrays
+        return pm.shard_batch(arrays, mesh)
 
     prefetcher = None
     if args.prefetch > 0:
@@ -328,7 +349,7 @@ def main(argv=None):
 
         prefetcher = PrefetchIterator(
             lambda: loader.get_next_batch(max_seq_len), materialize,
-            depth=args.prefetch,
+            depth=args.prefetch, snapshot=loader.save_state,
         )
 
     for it in range(start_iter, total_iters):
@@ -342,7 +363,10 @@ def main(argv=None):
             state, metrics = xe_step(state, arrays, sub)
             running.append(float(metrics["loss"]))
         else:
-            sampled = sample_batch(state.params, arrays["enc_input"], sub)
+            sampled = sample_batch(
+                state.params, arrays["enc_input"], sub,
+                enc_num_pads=arrays.get("enc_num_pads"),
+            )
             rewards = reward_fn(
                 np.asarray(sampled.tokens), np.asarray(sampled.lengths),
                 batch["img_idxs"], vocab,
@@ -350,16 +374,18 @@ def main(argv=None):
             state, metrics = scst_step(
                 state, arrays,
                 {"tokens": sampled.tokens, "lengths": sampled.lengths},
-                jnp.asarray(rewards),
+                pm.shard_batch(jnp.asarray(rewards), mesh),
             )
             running.append(float(metrics["reward"]))
 
         timer.tick()
         if (it + 1) % args.print_every_iter == 0:
             tag = "reward" if args.reinforce else "loss"
+            # the schedule counts APPLIED updates, which under MultiSteps
+            # advance once per num_accum micro-steps
             stats = {
                 tag: float(np.mean(running)),
-                "lr": float(sched(it)),
+                "lr": float(sched((it + 1) // max(args.num_accum, 1))),
                 "sec_per_iter": timer.sec_per_iter,
                 "pct_done": 100.0 * (it + 1) / total_iters,
             }
@@ -376,14 +402,23 @@ def main(argv=None):
             it + 1
         ) == total_iters:
             if jax.process_index() == 0:
+                # with prefetch, the loader cursor runs ahead of consumption;
+                # the prefetcher snapshots the cursor per consumed batch so a
+                # resume replays the exact next batch (reference
+                # data/transparent_data_loader.py:49-61 semantics)
+                dls = (
+                    prefetcher.consumed_state
+                    if prefetcher is not None
+                    else loader.save_state()
+                )
                 ckpt.save_checkpoint(
                     args.save_path, state.params, state.opt_state, int(state.step),
-                    data_loader_state=loader.save_state(),
+                    data_loader_state=dls,
                     additional_info="rf" if args.reinforce else "xe",
                     num_max_checkpoints=args.how_many_checkpoints,
-                    epoch_it=loader.get_epoch_it(),
-                    batch_it=loader.get_batch_it(),
-                    batch_size=loader.get_batch_size(),
+                    epoch_it=dls["epoch_it"],
+                    batch_it=dls["batch_it"],
+                    batch_size=dls["batch_size"],
                     verbose=True,
                 )
             last_save = time.time()
@@ -395,7 +430,7 @@ def main(argv=None):
                 scores, _ = evaluate_split(
                     state.params, cfg, dataset, "val", beam,
                     args.eval_parallel_batch_size, max_seq_len,
-                    args.features_path,
+                    args.features_path, mesh=mesh,
                 )
                 print(f"[eval beam {beam}] {scores}", flush=True)
 

@@ -21,9 +21,17 @@ class PrefetchIterator:
         next_batch: Callable[[], dict],
         materialize: Callable[[dict], dict],
         depth: int = 2,
+        snapshot: Optional[Callable[[], dict]] = None,
     ):
+        """snapshot: called in the worker right after each next_batch() (e.g.
+        loader.save_state). `consumed_state` then always holds the cursor as of
+        the last batch the CONSUMER took, even though the worker's loader runs
+        up to `depth` batches ahead — so checkpoints resume at the exact next
+        batch (reference data/transparent_data_loader.py:49-61 semantics)."""
         self._next_batch = next_batch
         self._materialize = materialize
+        self._snapshot = snapshot
+        self.consumed_state: Optional[dict] = snapshot() if snapshot else None
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
@@ -34,10 +42,11 @@ class PrefetchIterator:
         try:
             while not self._stop.is_set():
                 batch = self._next_batch()
+                state = self._snapshot() if self._snapshot else None
                 arrays = self._materialize(batch)
                 while not self._stop.is_set():
                     try:
-                        self._q.put((batch, arrays), timeout=0.1)
+                        self._q.put((batch, arrays, state), timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -51,7 +60,10 @@ class PrefetchIterator:
             if self._error is not None:
                 raise self._error
             try:
-                return self._q.get(timeout=0.5)
+                batch, arrays, state = self._q.get(timeout=0.5)
+                if state is not None:
+                    self.consumed_state = state
+                return batch, arrays
             except queue.Empty:
                 timeout -= 0.5
                 if timeout <= 0:

@@ -14,6 +14,7 @@ equivalent is SPMD over a (data, model) mesh:
 """
 from __future__ import annotations
 
+import math
 import re
 from typing import Optional
 
@@ -33,6 +34,20 @@ def make_mesh(
     )
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
+
+
+def make_default_mesh(batch_size: int, n_model: int = 1, devices=None) -> Mesh:
+    """Largest (data, model) mesh whose 'data' axis evenly divides batch_size.
+
+    The CLIs call this at startup so an 8-chip host trains/evaluates over all 8
+    chips by default (the reference spawns one DDP process per visible GPU —
+    reference train.py:616-643); a batch that doesn't divide evenly simply uses
+    fewer chips rather than erroring.
+    """
+    devices = devices if devices is not None else jax.devices()
+    avail = max(len(devices) // max(n_model, 1), 1)
+    n_data = math.gcd(max(batch_size, 1), avail)
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)
 
 
 # path-regex -> PartitionSpec for the model axis (matched against the joined
@@ -97,6 +112,50 @@ def batch_spec(ndim: int) -> P:
 
 
 def shard_batch(batch, mesh: Mesh):
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim))), batch
-    )
+    """Shard each array's leading (batch) dim on 'data'.
+
+    Single process: a plain device_put. Multi process (jax.distributed): each
+    process holds its own rank-shard of the global batch (the loader's seeded
+    column pick — reference data/coco_dataloader.py:139-163), so assemble the
+    global array from per-process local data.
+    """
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        sharding = NamedSharding(mesh, batch_spec(x.ndim))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a full train state (params + optimizer state + counters) on the mesh.
+
+    Optimizer-state subtrees that mirror the parameter pytree (RAdam/Adam first
+    and second moments, MultiSteps gradient accumulators) get the parameters'
+    PartitionSpecs so TP-sharded weights keep TP-sharded moments; every other
+    leaf (step counters, scalars) is replicated. This is what DDP got implicitly
+    by constructing the optimizer per-rank (reference train.py:449-528).
+    """
+    params = state.params
+    p_treedef = jax.tree.structure(params)
+    p_specs = param_specs(params)
+
+    def params_like(node) -> bool:
+        try:
+            return jax.tree.structure(node) == p_treedef
+        except Exception:
+            return False
+
+    def put(node):
+        if params_like(node):
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                node,
+                p_specs,
+            )
+        return jax.device_put(node, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, state, is_leaf=params_like)

@@ -93,6 +93,47 @@ def test_train_xe_then_scst_then_evaluate(corpus, tmp_path):
     assert rc == 0
 
 
+def test_train_cli_shards_over_virtual_mesh(corpus, tmp_path, monkeypatch):
+    """cli/train must build the (data, model) mesh and place params/opt-state on
+    it — the SPMD replacement for the reference's per-GPU DDP spawn
+    (reference train.py:616-643)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from on_device_image_captioning_tpu.cli import train as train_cli
+    from on_device_image_captioning_tpu.parallel import mesh as pm
+
+    captured = {}
+    orig = pm.shard_train_state
+
+    def spy(state, mesh):
+        out = orig(state, mesh)
+        captured["mesh"] = mesh
+        captured["state"] = out
+        return out
+
+    monkeypatch.setattr(pm, "shard_train_state", spy)
+    save = str(tmp_path / "saves") + "/"
+    rc = train_cli.main(
+        [
+            "--dataset", "coco", "--annotations", corpus["ann"],
+            "--features_path", corpus["features"], "--save_path", save,
+            "--batch_size", "8", "--num_epochs", "1", "--seed", "7",
+            "--max_seq_len", "12", *TINY_FLAGS,
+        ]
+    )
+    assert rc == 0
+    mesh = captured["mesh"]
+    assert mesh.shape == {"data": 8, "model": 1}  # all 8 virtual devices used
+    for leaf in jax.tree.leaves(captured["state"]):
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert leaf.sharding.mesh == mesh
+    w = captured["state"].params["vocab_linear"]["w"]
+    # TP rules annotate the size-1 'model' axis; under pure DP that is
+    # equivalent to fully replicated
+    assert w.sharding.is_equivalent_to(NamedSharding(mesh, P()), w.ndim)
+
+
 def test_generate_features_cli(corpus, tmp_path):
     """Feature-generation over real (synthetic) JPEGs with the full Swin config is
     too slow for CI; instead drive the FeatureStore write path it uses plus the

@@ -73,6 +73,66 @@ def test_tp_sharded_forward_exact(setup):
                                atol=2e-5)
 
 
+def test_make_default_mesh_divides_batch():
+    """The CLI-facing mesh constructor uses as many devices as evenly divide the
+    batch (8 virtual devices in this suite)."""
+    assert pm.make_default_mesh(8).shape == {"data": 8, "model": 1}
+    assert pm.make_default_mesh(12).shape["data"] == 4  # gcd(12, 8)
+    assert pm.make_default_mesh(7).shape["data"] == 1
+    assert pm.make_default_mesh(8, n_model=2).shape == {"data": 4, "model": 2}
+
+
+def test_shard_train_state_places_params_and_moments(setup):
+    """shard_train_state must give optimizer moments the same PartitionSpecs as
+    their parameters and replicate scalar counters."""
+    from jax.sharding import NamedSharding
+
+    from on_device_image_captioning_tpu.train import radam, train_step
+
+    params, _ = setup
+    opt = train_step.with_grad_accum(
+        radam.radam(lambda _: 1e-4, b1=0.9, b2=0.98, eps=1e-9), num_accum=2
+    )
+    state = train_step.init_train_state(params, opt)
+    mesh = pm.make_mesh(n_data=4, n_model=2)
+    st = pm.shard_train_state(state, mesh)
+
+    def spec_of(x):
+        return x.sharding.spec
+
+    # TP rule on params
+    assert spec_of(st.params["decoders"][0]["ff"]["linear_1"]["w"]) == P(None, "model")
+    # every leaf is committed to THIS mesh
+    for leaf in jax.tree.leaves(st):
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert leaf.sharding.mesh == mesh
+    # moments mirror the param specs: find a params-shaped subtree in opt_state
+    tp_shape = st.params["decoders"][0]["ff"]["linear_1"]["w"].shape
+    moment_specs = [
+        spec_of(leaf)
+        for leaf in jax.tree.leaves(st.opt_state)
+        if getattr(leaf, "shape", None) == tp_shape
+    ]
+    assert moment_specs and all(s == P(None, "model") for s in moment_specs)
+    # scalar counters replicated
+    assert spec_of(st.step) == P()
+
+    # the sharded state steps identically to the unsharded one
+    feats = np.random.default_rng(3).standard_normal(
+        (8, 7, TINY.img_feature_dim), dtype=np.float32
+    )
+    toks = np.random.default_rng(4).integers(0, TINY.vocab_size, (8, 6)).astype(
+        np.int32
+    )
+    step = jax.jit(train_step.make_xe_step(TINY, opt, end_to_end_model=False))
+    batch = {"enc_input": jnp.asarray(feats), "captions": jnp.asarray(toks)}
+    _, m_base = step(state, batch, jax.random.PRNGKey(0))
+    _, m_shard = step(st, pm.shard_batch(batch, mesh), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m_shard["loss"]), float(m_base["loss"]), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_param_specs_hit_tp_targets(setup):
     params, _ = setup
     specs = pm.param_specs(params)
