@@ -50,10 +50,20 @@ class CocoEvalCap:
             score, per_img = compute_cider(gts, res)
             self._set("CIDEr", score, img_ids, per_img)
         if meteor:
-            from .meteor import MeteorScorer
+            import os
 
-            scorer = MeteorScorer()
+            if os.environ.get("METEOR_JAR"):
+                # the jar (when available) is authoritative: it adds the
+                # WordNet-synonym and paraphrase matcher stages
+                from .meteor import MeteorScorer
+
+                scorer = MeteorScorer()
+            else:
+                from .meteor_native import NativeMeteorScorer
+
+                scorer = NativeMeteorScorer()
             score, per_img = scorer.compute(gts, res)
+            scorer.close()
             self._set("METEOR", score, img_ids, per_img)
         if spice:
             from .spice import SpiceScorer

@@ -1,0 +1,326 @@
+"""Native METEOR scorer (no Java).
+
+The reference scores METEOR by piping to meteor-1.5.jar (reference
+eval/meteor/meteor.py:25-111), an external binary absent from the snapshot
+(.MISSING_LARGE_BLOBS), so the metric was unobtainable. This module is a
+self-contained reimplementation of the METEOR algorithm (Denkowski & Lavie,
+"Meteor Universal", WACV 2014) with the 1.5 English-task configuration:
+
+- matcher stages: exact (weight 1.0) and Porter-stem (weight 0.6). The jar's
+  two data-file stages — WordNet synonymy (0.8) and the paraphrase table
+  (0.6) — require external resources the snapshot doesn't carry either; their
+  absence makes this scorer a slight UNDER-estimate of jar METEOR (typically a
+  few tenths of a point on COCO-scale corpora). Documented, not hidden.
+- parameters (-l en): alpha=0.85, beta=0.2, gamma=0.6, delta=0.75;
+  Fmean = P*R / (alpha*P + (1-alpha)*R); Pen = gamma * (chunks/matches)^beta;
+  segment score = (1 - Pen) * Fmean.
+- content/function word weighting: content words count delta, function words
+  (1 - delta) in weighted P/R. The jar derives its function-word list from
+  corpus frequency; here a standard English closed-class list is embedded.
+- alignment: per stage, left-to-right one-to-one resolution preferring the
+  pairing that extends a contiguous run (the jar beam-searches for the
+  minimum-chunk maximal alignment; on caption-length segments the greedy
+  tie-break almost always finds the same chunk count).
+- corpus score: aggregate sufficient statistics over segments (same
+  micro-average the jar reports as its final score), each segment scored
+  against its best-matching reference.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+ALPHA = 0.85
+BETA = 0.2
+GAMMA = 0.6
+DELTA = 0.75
+WEIGHT_EXACT = 1.0
+WEIGHT_STEM = 0.6
+
+# Standard English closed-class (function) words: determiners, pronouns,
+# prepositions, conjunctions, auxiliaries, particles. Stand-in for the jar's
+# frequency-derived function.words list.
+FUNCTION_WORDS = frozenset(
+    """a an the this that these those some any each every no all both either
+    neither i me my mine we us our ours you your yours he him his she her hers
+    it its they them their theirs who whom whose which what of in on at by for
+    with about against between into through during before after above below to
+    from up down out off over under again further and but or nor so yet as if
+    than because while where when why how not only own same such too very just
+    is am are was were be been being have has had having do does did doing will
+    would shall should may might must can could there here then once s t don
+    now""".split()
+)
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (M.F. Porter, "An algorithm for suffix stripping", 1980).
+# Clean-room implementation of the published algorithm.
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_consonant(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_consonant(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences (the m in [C](VC)^m[V])."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        if _is_consonant(stem, i):
+            if prev_vowel:
+                m += 1
+            prev_vowel = False
+        else:
+            prev_vowel = True
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_consonant(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_consonant(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_consonant(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if (
+        _is_consonant(word, len(word) - 3)
+        and not _is_consonant(word, len(word) - 2)
+        and _is_consonant(word, len(word) - 1)
+    ):
+        return word[-1] not in "wxy"
+    return False
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_consonant(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st":
+            if _measure(w[:-3]) > 1:
+                w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_consonant(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Alignment and scoring
+# ---------------------------------------------------------------------------
+
+
+def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
+    """One-to-one matches (hyp_idx, ref_idx, stage_weight), exact stage first,
+    then stem stage over leftovers. Ties resolved by preferring the ref
+    position that continues the previous match's run (chunk minimization)."""
+    matches: List[Tuple[int, int, float]] = []
+    hyp_used = [False] * len(hyp)
+    ref_used = [False] * len(ref)
+
+    for keyer, weight in (
+        (lambda t: t, WEIGHT_EXACT),
+        (porter_stem, WEIGHT_STEM),
+    ):
+        ref_keys = [keyer(t) for t in ref]
+        prev_ref = -2
+        for i, tok in enumerate(hyp):
+            if hyp_used[i]:
+                prev = [m for m in matches if m[0] == i]
+                prev_ref = prev[0][1] if prev else prev_ref
+                continue
+            key = keyer(tok)
+            cands = [j for j, rk in enumerate(ref_keys) if rk == key and not ref_used[j]]
+            if not cands:
+                continue
+            # prefer a candidate adjacent to the previous matched ref position
+            j = next((c for c in cands if c == prev_ref + 1), cands[0])
+            matches.append((i, j, weight))
+            hyp_used[i] = True
+            ref_used[j] = True
+            prev_ref = j
+    matches.sort()
+    return matches
+
+
+def _count_chunks(matches: List[Tuple[int, int, float]]) -> int:
+    if not matches:
+        return 0
+    chunks = 1
+    for (h0, r0, _), (h1, r1, _) in zip(matches, matches[1:]):
+        if not (h1 == h0 + 1 and r1 == r0 + 1):
+            chunks += 1
+    return chunks
+
+
+def _word_weight(tok: str) -> float:
+    return (1.0 - DELTA) if tok in FUNCTION_WORDS else DELTA
+
+
+class _Stats:
+    """Sufficient statistics of one segment against one reference."""
+
+    __slots__ = ("w_hyp", "w_ref", "wm_hyp", "wm_ref", "chunks", "matches")
+
+    def __init__(self, hyp: List[str], ref: List[str]):
+        m = _align(hyp, ref)
+        self.w_hyp = sum(_word_weight(t) for t in hyp)
+        self.w_ref = sum(_word_weight(t) for t in ref)
+        self.wm_hyp = sum(w * _word_weight(hyp[i]) for i, _, w in m)
+        self.wm_ref = sum(w * _word_weight(ref[j]) for _, j, w in m)
+        self.matches = len(m)
+        ch = _count_chunks(m)
+        if ch == 1 and self.matches == len(hyp) == len(ref):
+            # full contiguous cover: no fragmentation, identical strings score 1
+            ch = 0
+        self.chunks = ch
+
+    def score(self) -> float:
+        if self.w_hyp == 0 or self.w_ref == 0 or self.matches == 0:
+            return 0.0
+        p = self.wm_hyp / self.w_hyp
+        r = self.wm_ref / self.w_ref
+        if p == 0.0 or r == 0.0:
+            return 0.0
+        fmean = p * r / (ALPHA * p + (1.0 - ALPHA) * r)
+        frag = self.chunks / self.matches
+        return (1.0 - GAMMA * frag**BETA) * fmean
+
+
+def _segment_stats(hyp: str, refs: Sequence[str]) -> _Stats:
+    h = hyp.split()
+    best = None
+    for ref in refs:
+        s = _Stats(h, ref.split())
+        if best is None or s.score() > best.score():
+            best = s
+    return best
+
+
+def meteor_score(hyp: str, refs: Sequence[str]) -> float:
+    """Segment-level METEOR of one hypothesis against its references."""
+    return _segment_stats(hyp, refs).score()
+
+
+class NativeMeteorScorer:
+    """Drop-in for evalcap.meteor.MeteorScorer (same compute() protocol)."""
+
+    def compute(
+        self, gts: Dict[object, List[str]], res: Dict[object, List[str]]
+    ) -> Tuple[float, np.ndarray]:
+        img_ids = list(gts.keys())
+        per_seg = []
+        agg = {"w_hyp": 0.0, "w_ref": 0.0, "wm_hyp": 0.0, "wm_ref": 0.0,
+               "chunks": 0, "matches": 0}
+        for i in img_ids:
+            hyp = res[i][0] if res[i][0] else "a"  # reference meteor.py:67-69
+            s = _segment_stats(hyp, gts[i])
+            per_seg.append(s.score())
+            for k in agg:
+                agg[k] += getattr(s, k)
+        if agg["w_hyp"] == 0 or agg["w_ref"] == 0 or agg["matches"] == 0:
+            return 0.0, np.asarray(per_seg)
+        p = agg["wm_hyp"] / agg["w_hyp"]
+        r = agg["wm_ref"] / agg["w_ref"]
+        if p == 0.0 or r == 0.0:
+            return 0.0, np.asarray(per_seg)
+        fmean = p * r / (ALPHA * p + (1.0 - ALPHA) * r)
+        frag = agg["chunks"] / agg["matches"]
+        final = (1.0 - GAMMA * frag**BETA) * fmean
+        return float(final), np.asarray(per_seg)
+
+    def close(self):  # protocol parity with the jar wrapper
+        pass

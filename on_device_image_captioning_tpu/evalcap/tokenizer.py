@@ -24,19 +24,39 @@ _BRACKETS = {
 }
 
 _RULES = [
+    # opening single quote before a word -> ` (CoreNLP quote normalization);
+    # must run before the clitic rules create space-quote sequences
+    (re.compile(r"(^|[\s(\[{<])'(?=[A-Za-z])"), r"\1` "),
     # separate ellipses and standalone punctuation
     (re.compile(r"\.\.\."), r" ... "),
-    (re.compile(r"([,;:@#$%&])"), r" \1 "),
+    (re.compile(r"([;@#$%])"), r" \1 "),
+    # comma/colon stay inside numbers ("1,000", "5:30" are single PTB tokens)
+    (re.compile(r"(?<!\d),"), r" , "),
+    (re.compile(r",(?!\d)"), r" , "),
+    (re.compile(r"(?<!\d):"), r" : "),
+    (re.compile(r":(?!\d)"), r" : "),
+    # ampersand stays inside names ("AT&T" is one CoreNLP token)
+    (re.compile(r"(?<![A-Za-z0-9])&"), r" & "),
+    (re.compile(r"&(?![A-Za-z0-9])"), r" & "),
     # final period (PTB splits sentence-final periods, keeps abbreviations; caption
     # text has no abbreviation periods after the eval pipeline strips them anyway)
     (re.compile(r"([^\.])(\.)(\s|$)"), r"\1 \2\3"),
     (re.compile(r"([?!])"), r" \1 "),
     (re.compile(r"([\]\[(){}<>])"), r" \1 "),
     (re.compile(r"--"), r" -- "),
+    # assimilations (CoreNLP splitAssimilations, on by default)
+    (re.compile(r"\b([Cc])annot\b"), r"\1an not"),
+    (re.compile(r"\b([Gg])onna\b"), r"\1on na"),
+    (re.compile(r"\b([Gg])otta\b"), r"\1ot ta"),
+    (re.compile(r"\b([Ww])anna\b"), r"\1an na"),
+    (re.compile(r"\b([Ll])emme\b"), r"\1em me"),
+    (re.compile(r"\b([Gg])imme\b"), r"\1im me"),
     # possessive / contraction clitics
     (re.compile(r"([^' ])('[sSmMdD]|'ll|'LL|'re|'RE|'ve|'VE)(\s|$)"), r"\1 \2\3"),
     (re.compile(r"(\S)(n't|N'T)(\s|$)"), r"\1 \2\3"),
-    # quotes
+    # plural possessive / closing single quote after a word ("dogs'" -> dogs ')
+    (re.compile(r"([A-Za-z0-9])'(?=\s|$)"), r"\1 ' "),
+    # double quotes
     (re.compile(r'"'), r" '' "),
 ]
 

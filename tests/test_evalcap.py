@@ -90,6 +90,53 @@ def test_ptb_tokenizer_basics():
     ]
 
 
+def test_ptb_tokenizer_golden_corpus():
+    """Golden outputs hand-derived from CoreNLP PTBTokenizer semantics with the
+    coco-caption flags (-preserveLines -lowerCase, then the PUNCTUATIONS drop —
+    reference eval/tokenizer/ptbtokenizer.py:42-113): contraction clitics,
+    n't/ca n't/wo n't, possessives (singular and plural), quotes, hyphenated
+    words kept whole, numeric commas/colons/currency per the Penn Treebank WSJ
+    conventions, CoreNLP assimilation splitting, bracket/dash/ellipsis drops."""
+    from on_device_image_captioning_tpu.evalcap.tokenizer import tokenize_captions
+
+    golden = [
+        ("A man is riding a horse.", "a man is riding a horse"),
+        ("The dog doesn't catch the frisbee.",
+         "the dog does n't catch the frisbee"),
+        ("He can't see the ball, so he waits.",
+         "he ca n't see the ball so he waits"),
+        ("She won't jump.", "she wo n't jump"),
+        ("It's a sunny day; people are out.",
+         "it 's a sunny day people are out"),
+        ("I'm happy we're here and they've left.",
+         "i 'm happy we 're here and they 've left"),
+        ("We'll see what she'd do.", "we 'll see what she 'd do"),
+        # the plural-possessive quote splits off and is then dropped (it is in
+        # the coco-caption PUNCTUATIONS list)
+        ("The dog's ball and the dogs' toys.",
+         "the dog 's ball and the dogs toys"),
+        ('"A large pizza" on a table', "a large pizza on a table"),
+        # reference quirk preserved: the jar's -lowerCase emits "-lrb-" but the
+        # PUNCTUATIONS drop list is uppercase "-LRB-", so bracket tokens SURVIVE
+        # into scored text (reference eval/tokenizer/ptbtokenizer.py:53,107-108)
+        ("A well-dressed man stands (near a tree).",
+         "a well-dressed man stands -lrb- near a tree -rrb-"),
+        ("There are 1,000 people.", "there are 1,000 people"),
+        ("It costs $5 at 5:30 today.", "it costs $ 5 at 5:30 today"),
+        ("A sign says 50% off...", "a sign says 50 % off"),
+        ("He cannot skate; he's gonna fall.",
+         "he can not skate he 's gon na fall"),
+        ("Wait -- a cat and a dog!", "wait a cat and a dog"),
+        ("Two cats, one dog, and a bird.", "two cats one dog and a bird"),
+        ("a man rides a bike", "a man rides a bike"),
+        ("'hello' said the sign", "hello said the sign"),
+    ]
+    gts = {i: [{"caption": raw}] for i, (raw, _) in enumerate(golden)}
+    got = tokenize_captions(gts)
+    for i, (raw, expect) in enumerate(golden):
+        assert got[i][0] == expect, f"{raw!r}: {got[i][0]!r} != {expect!r}"
+
+
 def test_harness_end_to_end(corpus):
     gts, res = corpus
     preds = {i: res[i][0] for i in res}

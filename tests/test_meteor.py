@@ -1,0 +1,132 @@
+"""Native METEOR scorer: Porter stemmer golden cases, hand-computed segment
+scores, corpus aggregation, and the harness integration (the metric the
+reference could only obtain via meteor-1.5.jar — reference
+eval/meteor/meteor.py:25-111)."""
+import numpy as np
+import pytest
+
+from on_device_image_captioning_tpu.evalcap.meteor_native import (
+    NativeMeteorScorer,
+    meteor_score,
+    porter_stem,
+)
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        # full-pipeline outputs, cross-checked against nltk's
+        # PorterStemmer(mode='ORIGINAL_ALGORITHM')
+        ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+        ("caress", "caress"), ("cats", "cat"), ("feed", "feed"),
+        ("agreed", "agre"), ("plastered", "plaster"), ("bled", "bled"),
+        ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+        ("troubled", "troubl"), ("sized", "size"), ("hopping", "hop"),
+        ("tanned", "tan"), ("falling", "fall"), ("hissing", "hiss"),
+        ("failing", "fail"), ("filing", "file"), ("happy", "happi"),
+        ("sky", "sky"), ("relational", "relat"), ("conditional", "condit"),
+        ("rational", "ration"), ("valenci", "valenc"),
+        ("operator", "oper"), ("decisiveness", "decis"),
+        ("sensitivity", "sensit"), ("triplicate", "triplic"),
+        ("electricity", "electr"), ("hopeful", "hope"), ("goodness", "good"),
+        ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+        ("controll", "control"), ("roll", "roll"),
+    ],
+)
+def test_porter_stemmer_golden(word, stem):
+    assert porter_stem(word) == stem
+
+
+def test_porter_stemmer_fuzz_vs_nltk():
+    """Full-vocabulary agreement with nltk's original-algorithm Porter stemmer
+    on caption-like English (words from the reference demo vocab pattern plus
+    generated inflections)."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.stem.porter import PorterStemmer
+
+    ps = PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    bases = [
+        "cat", "dog", "run", "walk", "jump", "play", "sit", "stand", "hold",
+        "ride", "carry", "smile", "talk", "eat", "drink", "look", "watch",
+        "wear", "drive", "fly", "swim", "slice", "grab", "point", "wave",
+        "skate", "surf", "bake", "cook", "decorate", "organize", "nation",
+        "relate", "condition", "create", "operate", "generate", "move",
+        "happy", "beauty", "activity", "formal", "electric", "hope",
+        "connect", "adjust", "depend", "irritate", "state", "control",
+    ]
+    suffixes = ["", "s", "es", "ed", "ing", "er", "ers", "ly", "ness",
+                "ful", "ment", "ation", "ational", "ive", "ize", "ity"]
+    mismatches = [
+        (w, porter_stem(w), ps.stem(w))
+        for w in (b + s for b in bases for s in suffixes)
+        if porter_stem(w) != ps.stem(w)
+    ]
+    assert not mismatches, mismatches[:10]
+
+
+def test_identical_sentences_score_one():
+    assert meteor_score("a cat sits on a mat", ["a cat sits on a mat"]) == 1.0
+
+
+def test_disjoint_sentences_score_zero():
+    assert meteor_score("red ball bounces", ["dog eats food quickly"]) == 0.0
+
+
+def test_hand_computed_segment_score():
+    """hyp 'the cat sat on the mat' vs ref 'the cat was on the mat':
+    5 exact matches (weighted 2.25/2.25), weighted lengths 3.0/2.5 ->
+    P=0.75, R=0.9, Fmean=0.87379; 2 chunks over 5 matches ->
+    Pen=0.6*0.4^0.2=0.49956; score=0.43736."""
+    got = meteor_score("the cat sat on the mat", ["the cat was on the mat"])
+    p, r = 2.25 / 3.0, 2.25 / 2.5
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    expected = (1.0 - 0.6 * (2 / 5) ** 0.2) * fmean
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_stem_stage_matches():
+    """'the cats running' vs 'the cat runs': all three positions match (one
+    exact, two stem at weight 0.6) in one full-cover chunk -> no penalty,
+    P = R = (0.25 + 0.45 + 0.45) / 1.75."""
+    got = meteor_score("the cats running", ["the cat runs"])
+    np.testing.assert_allclose(got, 1.15 / 1.75, rtol=1e-9)
+
+
+def test_best_reference_wins():
+    refs = ["dog eats food quickly", "a cat sits on a mat"]
+    assert meteor_score("a cat sits on a mat", refs) == 1.0
+
+
+def test_corpus_aggregation_and_per_segment():
+    gts = {
+        0: ["a cat sits on a mat"],
+        1: ["the dog runs fast"],
+    }
+    res = {0: ["a cat sits on a mat"], 1: ["birds fly south"]}
+    final, per_seg = NativeMeteorScorer().compute(gts, res)
+    assert per_seg.shape == (2,)
+    assert per_seg[0] == 1.0 and per_seg[1] == 0.0
+    # micro-average over aggregated stats, not the mean of segment scores
+    assert 0.0 < final < 1.0
+
+
+def test_empty_hypothesis_handled():
+    final, per_seg = NativeMeteorScorer().compute(
+        {0: ["a cat"]}, {0: [""]}
+    )
+    assert np.isfinite(final) and np.isfinite(per_seg).all()
+
+
+def test_harness_meteor_metric():
+    from on_device_image_captioning_tpu.evalcap.harness import evaluate_captions
+
+    preds = {0: "a cat sits on the mat", 1: "a dog runs in the park"}
+    refs = {
+        0: ["a cat is sitting on the mat", "there is a cat on a mat"],
+        1: ["a dog running through a park", "the dog runs across the park"],
+    }
+    scores = evaluate_captions(
+        preds, refs, metrics=("bleu", "rouge", "cider", "meteor")
+    )
+    assert "METEOR" in scores
+    assert 0.0 < scores["METEOR"] <= 1.0
