@@ -71,8 +71,7 @@ def test_train_xe_then_scst_then_evaluate(corpus, tmp_path):
     # SCST phase resumes from the XE checkpoint (weights kept, reference
     # train.py:554-597 phase flip)
     rc = train_cli.main(
-        common + ["--reinforce", "--num_samples", "3", "--scst_max_len", "8",
-                  "--num_epochs", "2"]
+        common + ["--reinforce", "--num_samples", "3", "--scst_max_len", "8"]
     )
     assert rc == 0
 

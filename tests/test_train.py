@@ -116,15 +116,19 @@ def test_xe_step_decreases_loss():
     from on_device_image_captioning_tpu.models import end_to_end
     from on_device_image_captioning_tpu.train import train_step
 
-    cfg = _tiny_model_cfg()
-    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    from on_device_image_captioning_tpu.models import captioner as cap_mod
+
+    # features-in model: the learning-signal claim is model-agnostic and the
+    # end-to-end XE step compile is already exercised by test_dryrun_multichip
+    cfg = _tiny_model_cfg().captioner
+    params = cap_mod.captioner_init(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(1e-3)
-    step = jax.jit(train_step.make_xe_step(cfg, opt, end_to_end_model=True))
+    step = jax.jit(train_step.make_xe_step(cfg, opt, end_to_end_model=False))
     state = train_step.init_train_state(params, opt)
     rng = np.random.default_rng(0)
     batch = {
         "enc_input": jnp.asarray(
-            rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
+            rng.standard_normal((2, 7, cfg.img_feature_dim), dtype=np.float32)
         ),
         "captions": jnp.asarray(rng.integers(0, 64, (2, 10), dtype=np.int32)),
     }
@@ -154,19 +158,20 @@ def test_remat_grads_match():
     from __graft_entry__ import _tiny_model_cfg
     from on_device_image_captioning_tpu.models import end_to_end
 
+    from on_device_image_captioning_tpu.models import swin
+
     cfg = _tiny_model_cfg()
-    cfg = dataclasses.replace(
-        cfg,
-        swin=dataclasses.replace(cfg.swin, depths=(4, 2), drop_path_rate=0.1),
-    )
-    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    swin_cfg = dataclasses.replace(cfg.swin, depths=(4, 2), drop_path_rate=0.1)
+    # remat only wraps the Swin blocks (reference swin_transformer_mod.py:591-593),
+    # so differentiating the backbone alone covers the claim at a fraction of the
+    # end-to-end compile cost (this box is 1-core and compiles for 8 virtual devs)
+    params = swin.swin_init(jax.random.PRNGKey(0), swin_cfg)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
-    toks = jnp.asarray(rng.integers(0, 64, (2, 6), dtype=np.int32))
 
     def loss(params, remat):
-        out = end_to_end.forward(
-            params, cfg, imgs, toks, rng=jax.random.PRNGKey(5), train=True,
+        out = swin.swin_apply(
+            params, swin_cfg, imgs, rng=jax.random.PRNGKey(5), train=True,
             remat=remat,
         )
         return jnp.sum(out**2) / out.size
