@@ -43,12 +43,20 @@ def main():
     from on_device_image_captioning_tpu.models import end_to_end
     from on_device_image_captioning_tpu.utils.image import normalize_on_device
 
+    import dataclasses
+
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     beam = int(os.environ.get("BENCH_BEAM", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     quant = os.environ.get("BENCH_QUANT", "none")  # none | w8 | w8a8
+    # fused whole-block Pallas kernels for Swin stages 0/1
+    # (ops/swin_block_fused.py: 61.9 -> 51.4 ms full-backbone fwd at b8 bf16)
+    attn_impl = os.environ.get("BENCH_ATTN", "fused")
 
     cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(
+        cfg, swin=dataclasses.replace(cfg.swin, attention_impl=attn_impl)
+    )
     dcfg = DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=20)
 
     params = end_to_end.init(jax.random.PRNGKey(0), cfg)

@@ -267,6 +267,16 @@ def swin_block(
     window, shift = effective_window(cfg, stage, block)
     b, l, c = x.shape
 
+    if (
+        cfg.attention_impl == "fused"
+        and not train
+        and "w_q" not in p["attn"]["qkv"]
+    ):
+        from ..ops import swin_block_fused as sbf
+
+        if sbf.eligible(c, cfg.mlp_ratio, x.dtype):
+            return _swin_block_fused_path(p, cfg, x, stage, window, shift, dtype)
+
     shortcut = x
     x = layernorm(p["norm1"], x, cfg.ln_eps).reshape(b, res, res, c)
     if shift > 0:
@@ -302,6 +312,42 @@ def swin_block(
     h = linear(p["mlp"]["fc2"], h, dtype)
     h = dropout(rngs.next(), cfg.drop_rate, h, train)
     return x + _drop_path(rngs.next(), drop_path_rate, h, train)
+
+
+def _swin_block_fused_path(p, cfg: SwinConfig, x, stage, window, shift, dtype):
+    """Inference path through the fused whole-block Pallas kernel
+    (ops/swin_block_fused.py): roll + window partition stay in XLA (cheap
+    layout ops); LN1+attention+proj+LN2+MLP+residuals run in one VMEM pass."""
+    from ..ops.swin_block_fused import swin_block_fused
+
+    b, l, c = x.shape
+    res = cfg.stage_resolution(stage)[0]
+    heads = cfg.num_heads[stage]
+    n = window * window
+    xs = x.reshape(b, res, res, c)
+    if shift > 0:
+        xs = jnp.roll(xs, shift=(-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(shift_attn_mask(res, window, shift))
+    else:
+        mask = None
+    xw = _window_partition(xs, window)
+    if dtype is not None:
+        xw = xw.astype(dtype)
+
+    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+    bias = jnp.take(p["attn"]["rel_bias"], idx, axis=0).reshape(n, n, heads)
+    bias = bias.transpose(2, 0, 1)
+    dk = c // heads
+    scale = cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5
+    num_windows = (res // window) ** 2
+
+    out = swin_block_fused(
+        xw, p, bias, mask, heads, num_windows, float(scale), cfg.ln_eps
+    )
+    out = _window_reverse(out, window, res, res)
+    if shift > 0:
+        out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
+    return out.reshape(b, l, c)
 
 
 def _drop_path(rng, rate, x: jnp.ndarray, train: bool) -> jnp.ndarray:

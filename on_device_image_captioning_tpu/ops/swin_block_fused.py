@@ -1,0 +1,236 @@
+"""Pallas TPU kernel: fully fused Swin transformer block for the shallow stages.
+
+The round-1 profile showed Swin-L stages 0/1 are HBM-bandwidth-bound: the XLA
+path materializes ~8 intermediate activation tensors per block (LN output, qkv,
+attention scores, softmax, attention output, proj output, MLP hidden, MLP
+output) over huge token grids (96x96x192 / 48x48x384), several hundred MB of
+HBM round trips per block at batch 8. This kernel computes the ENTIRE block —
+LN1 + qkv + per-head windowed attention (relative-position bias + shift mask)
++ proj + residual + LN2 + fc1 + exact GeLU + fc2 + residual — in one VMEM pass
+over a strip of windows, so HBM traffic drops to x-in + x-out + (weights once).
+
+Reference semantics: models/swin_transformer_mod.py:397-449 (block) and
+:222-272 (attention). Numerics mirror models/swin.py's XLA path op-for-op:
+fp32 LN stats, bf16 matmul operands with fp32 accumulation, fp32 softmax, and
+exact (erf) GeLU in fp32.
+
+Scope: inference (no dropout/drop-path — both are zero at eval) on stages whose
+full weight set fits VMEM alongside a window strip (Swin-L stages 0 and 1; the
+18-block stage 2 stays on the scanned XLA path, stage 3's 1536-dim weights
+don't fit). Selected via SwinConfig.attention_impl == "fused"; training and
+ineligible stages fall back to the XLA path automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# target activation elements (rows * channels) per program: big enough to keep
+# the MXU fed, small enough that the ~10 VMEM-resident intermediates (x in/out
+# double-buffered, fp32 LN output, qkv, scratch, MLP hidden) fit beside the
+# weights under the 16 MB scoped-vmem limit
+_TARGET_ELEMS = 8 * 144 * 192
+# weight bytes cap for eligibility (qkv + proj + fc1 + fc2 in compute dtype)
+_WEIGHT_BYTES_CAP = 8 * 1024 * 1024
+
+
+def windows_per_program(num_windows: int, n_tokens: int, channels: int) -> int:
+    """Largest divisor of num_windows with wpb * n * c <= _TARGET_ELEMS."""
+    best = 1
+    for wpb in range(1, num_windows + 1):
+        if (
+            num_windows % wpb == 0
+            and wpb * n_tokens * channels <= _TARGET_ELEMS
+        ):
+            best = wpb
+    return best
+
+
+def eligible(dim: int, mlp_ratio: float, dtype) -> bool:
+    """Whether the stage's full weight set fits the VMEM budget."""
+    itemsize = jnp.dtype(dtype).itemsize
+    weights = dim * 3 * dim + dim * dim + 2 * dim * int(dim * mlp_ratio)
+    return weights * itemsize <= _WEIGHT_BYTES_CAP
+
+
+def _ln(x, g_ref, b_ref, eps):
+    """torch LayerNorm, fp32 stats (models/common.py layernorm)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * g_ref[:] + b_ref[:]).astype(x.dtype)
+
+
+def _linear(x, w_ref, b_ref):
+    """bf16 operands, fp32 accumulate, cast back (models/common.py linear)."""
+    y = jnp.dot(x, w_ref[:].astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y + b_ref[:].astype(jnp.float32)).astype(x.dtype)
+
+
+def _erf(x):
+    """fp32 erf (Abramowitz & Stegun 7.1.26, |err| < 1.5e-7) — Mosaic has no
+    erf/erfc primitive, so exact-GeLU builds on exp instead."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """0.5 x (1 + erf(x / sqrt(2))) in fp32 (torch GELU default, matching the
+    XLA path's jax.nn.gelu(approximate=False) to ~1e-7)."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _block_kernel(
+    x_ref,
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    bias_ref,
+    mask_ref,
+    out_ref,
+    attn_scr,
+    *,
+    heads: int,
+    n: int,
+    wpb: int,
+    scale: float,
+    eps: float,
+):
+    c = x_ref.shape[-1]
+    dk = c // heads
+    rows = wpb * n
+    x = x_ref[:].reshape(rows, c)
+
+    # ---- attention sublayer -------------------------------------------------
+    xn = _ln(x, g1_ref, b1_ref, eps)
+    qkv = _linear(xn, wqkv_ref, bqkv_ref)  # (rows, 3c)
+    for w in range(wpb):
+        row0 = w * n
+        for h in range(heads):
+            col = h * dk
+            q = qkv[row0 : row0 + n, col : col + dk] * scale
+            k = qkv[row0 : row0 + n, c + col : c + col + dk]
+            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias_ref[h]
+            if mask_ref is not None:
+                s = s + mask_ref[w]
+            p = jax.nn.softmax(s, axis=-1)
+            attn_scr[row0 : row0 + n, col : col + dk] = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(attn_scr.dtype)
+    x = x + _linear(attn_scr[:], wproj_ref, bproj_ref)
+
+    # ---- MLP sublayer -------------------------------------------------------
+    h2 = _ln(x, g2_ref, b2_ref, eps)
+    hidden = _linear(h2, wfc1_ref, bfc1_ref)
+    hidden = _gelu_exact(hidden.astype(jnp.float32)).astype(hidden.dtype)
+    out_ref[:] = (x + _linear(hidden, wfc2_ref, bfc2_ref)).reshape(wpb, n, c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "num_windows", "scale", "eps")
+)
+def swin_block_fused(
+    x: jnp.ndarray,
+    p: dict,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    heads: int,
+    num_windows: int,
+    scale: float,
+    eps: float,
+) -> jnp.ndarray:
+    """x: (B*nW, N, C) window-partitioned block input (pre-rolled when shifted).
+    p: the swin block param dict (norm1/attn/norm2/mlp). bias: (H, N, N) fp32
+    pre-gathered relative-position bias. mask: (nW, N, N) additive or None.
+    Returns the full block output in the same window layout.
+    """
+    bw, n, c = x.shape
+    wpb = windows_per_program(num_windows, n, c)
+    grid = (bw // wpb,)
+    mask_blocks = num_windows // wpb
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["w"], p["attn"]["qkv"].get("b", jnp.zeros((3 * c,))),
+        p["attn"]["proj"]["w"], p["attn"]["proj"]["b"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
+        p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
+    ]
+    weights = [w.astype(x.dtype) if w.ndim == 2 else w for w in weights]
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        *[const(w.shape) for w in weights],
+        const((heads, n, n)),
+    ]
+    args = [x, *weights, bias.astype(jnp.float32)]
+    kernel = functools.partial(
+        _block_kernel, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+    )
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+    else:
+        kernel = functools.partial(
+            _no_mask_wrapper, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+        )
+
+    mlp_hidden = p["mlp"]["fc1"]["w"].shape[1]
+    flops_per_row = 2 * c * (3 * c + c + 2 * mlp_hidden) + 2 * 2 * n * c
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=bw * n * flops_per_row,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=bw * n * (heads * n + mlp_hidden),
+        ),
+        # CPU (tests, virtual meshes) runs the kernel in interpreter mode
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
+def _no_mask_wrapper(
+    x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2,
+    bias_ref, out_ref, attn_scr, *, heads, n, wpb, scale, eps,
+):
+    _block_kernel(
+        x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2,
+        bfc2, bias_ref, None, out_ref, attn_scr,
+        heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )

@@ -21,6 +21,44 @@ TINY = SwinConfig(
 )
 
 
+def test_fused_block_matches_xla_full_backbone():
+    """The fused whole-block kernel (attention_impl='fused') must reproduce the
+    XLA backbone end to end, including shifted blocks and patch merging."""
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    params = swin.swin_init(jax.random.PRNGKey(1), TINY)
+
+    base = swin.swin_apply(params, TINY, imgs)
+    fused_cfg = dataclasses.replace(TINY, attention_impl="fused")
+    got = swin.swin_apply(params, fused_cfg, imgs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=2e-5, atol=2e-5
+    )
+
+    # bf16 compute path too (the bench configuration)
+    base16 = swin.swin_apply(params, TINY, imgs, dtype=jnp.bfloat16)
+    got16 = swin.swin_apply(params, fused_cfg, imgs, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(base16, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_fused_block_respects_train_fallback():
+    """train=True must not enter the fused kernel (dropout/drop-path live only
+    on the XLA path): outputs with dropout rates zero still match XLA."""
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
+    params = swin.swin_init(jax.random.PRNGKey(2), TINY)
+    fused_cfg = dataclasses.replace(TINY, attention_impl="fused")
+    base = swin.swin_apply(params, TINY, imgs, train=True,
+                           rng=jax.random.PRNGKey(0))
+    got = swin.swin_apply(params, fused_cfg, imgs, train=True,
+                          rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_window_attention_kernel_matches_xla():
     rng = np.random.default_rng(0)
     bw, h, n, dk = 6, 2, 16, 8
