@@ -52,11 +52,17 @@ def main():
     # fused whole-block Pallas kernels for Swin stages 0/1
     # (ops/swin_block_fused.py: 61.9 -> 51.4 ms full-backbone fwd at b8 bf16)
     attn_impl = os.environ.get("BENCH_ATTN", "fused")
+    # fused Pallas decode step (ops/dyn_exp_step.py, 4-8% faster than XLA)
+    dyn_impl = os.environ.get("BENCH_DYN", "pallas")
 
     cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
     cfg = dataclasses.replace(
         cfg, swin=dataclasses.replace(cfg.swin, attention_impl=attn_impl)
     )
+    if dyn_impl != "xla":
+        from on_device_image_captioning_tpu.decode.cache import set_dyn_step_impl
+
+        set_dyn_step_impl(dyn_impl)
     dcfg = DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=20)
 
     params = end_to_end.init(jax.random.PRNGKey(0), cfg)

@@ -235,8 +235,14 @@ def test_sampling_bookkeeping(tiny_params):
     assert (lps[:, 0] == 0).all()
 
 
-@pytest.mark.parametrize("seed", [21, 22, 23, 24])
-def test_beam_search_parity_fuzz(reference_path, seed):
+@pytest.mark.parametrize("seed,dyn_impl", [
+    (21, "xla"), (22, "xla"), (23, "xla"), (24, "xla"),
+    # the fused Pallas decode-step kernel must ALSO hold token-for-token beam
+    # parity (its reduction order differs from XLA; the bench runs it by
+    # default, so beam-tie robustness is load-bearing)
+    (21, "pallas"), (24, "pallas"),
+])
+def test_beam_search_parity_fuzz(reference_path, seed, dyn_impl):
     """Fuzz: random tiny models + random beam/eos configs must stay
     token-for-token identical to the reference beam search."""
     import torch
@@ -284,10 +290,14 @@ def test_beam_search_parity_fuzz(reference_path, seed):
         )
     params = tc.to_jax(tc.convert_captioner(tc.strip_prefixes(ref.state_dict()), cfg))
     cross = cap.forward_enc(params, cfg, feats)
-    res = bs.beam_search(
-        params, cfg, cross,
-        DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=max_len,
-                     sos_idx=sos, eos_idx=eos),
-    )
-    got_caps, _ = bs.captions_from_result(res)
-    assert got_caps == ref_caps, (seed, sos, eos, beam, max_len)
+    dc.set_dyn_step_impl(dyn_impl)
+    try:
+        res = bs.beam_search(
+            params, cfg, cross,
+            DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=max_len,
+                         sos_idx=sos, eos_idx=eos),
+        )
+        got_caps, _ = bs.captions_from_result(res)
+    finally:
+        dc.set_dyn_step_impl("xla")
+    assert got_caps == ref_caps, (seed, sos, eos, beam, max_len, dyn_impl)
