@@ -275,7 +275,13 @@ def swin_block(
         from ..ops import swin_block_fused as sbf
 
         if sbf.eligible(c, cfg.mlp_ratio, x.dtype):
-            return _swin_block_fused_path(p, cfg, x, stage, window, shift, dtype)
+            return _swin_block_fused_path(
+                p, cfg, x, stage, window, shift, dtype, mode="full"
+            )
+        if sbf.eligible_halves(c, cfg.mlp_ratio, x.dtype):
+            return _swin_block_fused_path(
+                p, cfg, x, stage, window, shift, dtype, mode="halves"
+            )
 
     shortcut = x
     x = layernorm(p["norm1"], x, cfg.ln_eps).reshape(b, res, res, c)
@@ -314,11 +320,20 @@ def swin_block(
     return x + _drop_path(rngs.next(), drop_path_rate, h, train)
 
 
-def _swin_block_fused_path(p, cfg: SwinConfig, x, stage, window, shift, dtype):
-    """Inference path through the fused whole-block Pallas kernel
+def _swin_block_fused_path(
+    p, cfg: SwinConfig, x, stage, window, shift, dtype, mode: str = "full"
+):
+    """Inference path through the fused block Pallas kernels
     (ops/swin_block_fused.py): roll + window partition stay in XLA (cheap
-    layout ops); LN1+attention+proj+LN2+MLP+residuals run in one VMEM pass."""
-    from ..ops.swin_block_fused import swin_block_fused
+    layout ops). mode='full' runs LN1+attention+proj+LN2+MLP+residuals in one
+    VMEM pass; mode='halves' (weights too big for one kernel, e.g. Swin-L
+    stage 2) runs the attention half in window layout and the position-wise
+    MLP half over flat rows."""
+    from ..ops.swin_block_fused import (
+        swin_attn_half_fused,
+        swin_block_fused,
+        swin_mlp_half_fused,
+    )
 
     b, l, c = x.shape
     res = cfg.stage_resolution(stage)[0]
@@ -341,13 +356,21 @@ def _swin_block_fused_path(p, cfg: SwinConfig, x, stage, window, shift, dtype):
     scale = cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5
     num_windows = (res // window) ** 2
 
-    out = swin_block_fused(
-        xw, p, bias, mask, heads, num_windows, float(scale), cfg.ln_eps
-    )
+    if mode == "full":
+        out = swin_block_fused(
+            xw, p, bias, mask, heads, num_windows, float(scale), cfg.ln_eps
+        )
+    else:
+        out = swin_attn_half_fused(
+            xw, p, bias, mask, heads, num_windows, float(scale), cfg.ln_eps
+        )
     out = _window_reverse(out, window, res, res)
     if shift > 0:
         out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
-    return out.reshape(b, l, c)
+    out = out.reshape(b, l, c)
+    if mode != "full":
+        out = swin_mlp_half_fused(out, p, cfg.ln_eps)
+    return out
 
 
 def _drop_path(rng, rate, x: jnp.ndarray, train: bool) -> jnp.ndarray:

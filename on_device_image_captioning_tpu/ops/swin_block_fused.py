@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 _TARGET_ELEMS = 8 * 144 * 192
 # weight bytes cap for eligibility (qkv + proj + fc1 + fc2 in compute dtype)
 _WEIGHT_BYTES_CAP = 8 * 1024 * 1024
+# cap for each HALF-block kernel (attention-only / MLP-only) used on stages
+# whose full weight set doesn't fit (Swin-L stage 2, dim 768)
+_HALF_WEIGHT_BYTES_CAP = 10 * 1024 * 1024
 
 
 def windows_per_program(num_windows: int, n_tokens: int, channels: int) -> int:
@@ -56,6 +59,14 @@ def eligible(dim: int, mlp_ratio: float, dtype) -> bool:
     itemsize = jnp.dtype(dtype).itemsize
     weights = dim * 3 * dim + dim * dim + 2 * dim * int(dim * mlp_ratio)
     return weights * itemsize <= _WEIGHT_BYTES_CAP
+
+
+def eligible_halves(dim: int, mlp_ratio: float, dtype) -> bool:
+    """Whether each half-block kernel's weights fit the VMEM budget."""
+    itemsize = jnp.dtype(dtype).itemsize
+    attn_w = (dim * 3 * dim + dim * dim) * itemsize
+    mlp_w = 2 * dim * int(dim * mlp_ratio) * itemsize
+    return max(attn_w, mlp_w) <= _HALF_WEIGHT_BYTES_CAP
 
 
 def _ln(x, g_ref, b_ref, eps):
@@ -234,3 +245,188 @@ def _no_mask_wrapper(
         bfc2, bias_ref, None, out_ref, attn_scr,
         heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
     )
+
+
+# ---------------------------------------------------------------------------
+# Half-block kernels: for stages whose full weight set exceeds VMEM (Swin-L
+# stage 2, dim 768 = 14 MB of bf16 weights) the block splits into two fused
+# passes, each holding only its own weights: x + proj(attn(LN1 x)) in window
+# layout, then x + fc2(gelu(fc1(LN2 x))) over flat position-wise rows.
+# ---------------------------------------------------------------------------
+
+
+def _attn_half_kernel(
+    x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    bias_ref, mask_ref, out_ref, attn_scr,
+    *, heads, n, wpb, scale, eps,
+):
+    c = x_ref.shape[-1]
+    dk = c // heads
+    rows = wpb * n
+    x = x_ref[:].reshape(rows, c)
+    xn = _ln(x, g1_ref, b1_ref, eps)
+    qkv = _linear(xn, wqkv_ref, bqkv_ref)
+    for w in range(wpb):
+        row0 = w * n
+        for h in range(heads):
+            col = h * dk
+            q = qkv[row0 : row0 + n, col : col + dk] * scale
+            k = qkv[row0 : row0 + n, c + col : c + col + dk]
+            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias_ref[h]
+            if mask_ref is not None:
+                s = s + mask_ref[w]
+            p = jax.nn.softmax(s, axis=-1)
+            attn_scr[row0 : row0 + n, col : col + dk] = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(attn_scr.dtype)
+    out_ref[:] = (x + _linear(attn_scr[:], wproj_ref, bproj_ref)).reshape(
+        wpb, n, c
+    )
+
+
+def _attn_half_no_mask(
+    x_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, out_ref, attn_scr,
+    *, heads, n, wpb, scale, eps,
+):
+    _attn_half_kernel(
+        x_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, None, out_ref,
+        attn_scr, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "num_windows", "scale", "eps")
+)
+def swin_attn_half_fused(
+    x: jnp.ndarray,
+    p: dict,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    heads: int,
+    num_windows: int,
+    scale: float,
+    eps: float,
+) -> jnp.ndarray:
+    """x + proj(window_attention(LN1(x))) on window-partitioned x (B*nW, N, C)."""
+    bw, n, c = x.shape
+    wpb = windows_per_program(num_windows, n, c)
+    mask_blocks = num_windows // wpb
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["w"], p["attn"]["qkv"].get("b", jnp.zeros((3 * c,))),
+        p["attn"]["proj"]["w"], p["attn"]["proj"]["b"],
+    ]
+    weights = [w.astype(x.dtype) if w.ndim == 2 else w for w in weights]
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        *[const(w.shape) for w in weights],
+        const((heads, n, n)),
+    ]
+    args = [x, *weights, bias.astype(jnp.float32)]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _attn_half_kernel, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+        )
+    else:
+        kernel = functools.partial(
+            _attn_half_no_mask, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // wpb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=bw * n * (2 * c * 4 * c + 4 * n * c),
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=bw * n * heads * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
+def _mlp_half_kernel(
+    x_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, out_ref,
+    *, eps,
+):
+    x = x_ref[:]
+    h = _ln(x, g2_ref, b2_ref, eps)
+    h = _linear(h, wfc1_ref, bfc1_ref)
+    h = _gelu_exact(h.astype(jnp.float32)).astype(h.dtype)
+    out_ref[:] = x + _linear(h, wfc2_ref, bfc2_ref)
+
+
+def _mlp_rows_per_program(total_rows: int, hidden: int) -> int:
+    """Largest divisor of total_rows whose fp32+bf16 hidden fits ~4.5 MB."""
+    cap = max(1, (4_500_000 // (6 * hidden)) or 1)
+    best = 1
+    for r in range(1, min(total_rows, cap) + 1):
+        if total_rows % r == 0:
+            best = r
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def swin_mlp_half_fused(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
+    """x + fc2(gelu(fc1(LN2(x)))) over flat rows (R, C) — position-wise, so no
+    window layout is needed."""
+    shape = x.shape
+    c = shape[-1]
+    rows = x.size // c
+    xf = x.reshape(rows, c)
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+    rpp = _mlp_rows_per_program(rows, hidden)
+
+    def const(shp):
+        return pl.BlockSpec(
+            shp, lambda i: tuple(0 for _ in shp), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
+        p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
+    ]
+    weights = [w.astype(x.dtype) if w.ndim == 2 else w for w in weights]
+    out = pl.pallas_call(
+        functools.partial(_mlp_half_kernel, eps=eps),
+        grid=(rows // rpp,),
+        in_specs=[
+            pl.BlockSpec((rpp, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[const(w.shape) for w in weights],
+        ],
+        out_specs=pl.BlockSpec((rpp, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=rows * 4 * c * hidden,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=rows * hidden,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xf, *weights)
+    return out.reshape(shape)

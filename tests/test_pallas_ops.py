@@ -44,6 +44,24 @@ def test_fused_block_matches_xla_full_backbone():
     )
 
 
+def test_fused_halves_match_xla_backbone(monkeypatch):
+    """Stages too big for the whole-block kernel split into attention-half +
+    MLP-half kernels (Swin-L stage 2). Force every stage onto the halves path
+    and compare to the XLA backbone."""
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    monkeypatch.setattr(sbf, "eligible", lambda *a: False)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    params = swin.swin_init(jax.random.PRNGKey(6), TINY)
+    base = swin.swin_apply(params, TINY, imgs)
+    fused_cfg = dataclasses.replace(TINY, attention_impl="fused")
+    got = swin.swin_apply(params, fused_cfg, imgs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_fused_block_respects_train_fallback():
     """train=True must not enter the fused kernel (dropout/drop-path live only
     on the XLA path): outputs with dropout rates zero still match XLA."""
