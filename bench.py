@@ -71,13 +71,16 @@ def main():
 
         params = jax.device_put(quantize_tree(params, quant))
 
+    from on_device_image_captioning_tpu.deploy.quantization import dequantize_tree
+
     @jax.jit
     def caption(params, images_u8, rng):
         x = normalize_on_device(images_u8)
         enc = end_to_end.forward_enc(params, cfg, x)
+        # w8 decode: expand weight-only nodes ONCE per call, not per decode step
         res = bs.beam_search(
-            params["captioner"], cfg.captioner, enc, dcfg, rng=rng,
-            dtype=cfg.compute_dtype,
+            dequantize_tree(params["captioner"]), cfg.captioner, enc, dcfg,
+            rng=rng, dtype=cfg.compute_dtype,
         )
         return res.tokens, res.lengths
 

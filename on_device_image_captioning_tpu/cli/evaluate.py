@@ -47,6 +47,7 @@ def evaluate_split(
     from ..config import DecodeConfig
     from ..data.features_io import FeatureStore
     from ..decode import beam_search as bs
+    from ..deploy.quantization import dequantize_tree
     from ..evalcap.harness import evaluate_captions
     from ..models import captioner as cap_mod
     from ..models import end_to_end
@@ -81,8 +82,8 @@ def evaluate_split(
                 x = normalize_on_device(images_u8)
                 encs = [end_to_end.forward_enc(p, cfg, x) for p in params_list]
                 return bs.ensemble_beam_search(
-                    [p["captioner"] for p in params_list], cfg.captioner, encs,
-                    dcfg, dtype=cfg.compute_dtype,
+                    [dequantize_tree(p["captioner"]) for p in params_list],
+                    cfg.captioner, encs, dcfg, dtype=cfg.compute_dtype,
                 )
 
         else:
@@ -92,8 +93,8 @@ def evaluate_split(
                 x = normalize_on_device(images_u8)
                 enc = end_to_end.forward_enc(params, cfg, x)
                 return bs.beam_search(
-                    params["captioner"], cfg.captioner, enc, dcfg,
-                    dtype=cfg.compute_dtype,
+                    dequantize_tree(params["captioner"]), cfg.captioner, enc,
+                    dcfg, dtype=cfg.compute_dtype,
                 )
 
     else:
@@ -106,7 +107,8 @@ def evaluate_split(
                     for p in params_list
                 ]
                 return bs.ensemble_beam_search(
-                    params_list, cfg, encs, dcfg, enc_num_pads=pads
+                    [dequantize_tree(p) for p in params_list], cfg, encs,
+                    dcfg, enc_num_pads=pads
                 )
 
         else:
@@ -114,7 +116,9 @@ def evaluate_split(
             @jax.jit
             def decode_batch(params, feats, pads):
                 enc = cap_mod.forward_enc(params, cfg, feats, enc_num_pads=pads)
-                return bs.beam_search(params, cfg, enc, dcfg, enc_num_pads=pads)
+                return bs.beam_search(
+                    dequantize_tree(params), cfg, enc, dcfg, enc_num_pads=pads
+                )
 
     store = FeatureStore(features_path) if features_path else None
     predictions = {}

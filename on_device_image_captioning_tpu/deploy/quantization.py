@@ -100,6 +100,36 @@ def quantize_tree(
     return walk(params)
 
 
+def dequantize_tree(params: Any) -> Any:
+    """Expand weight-only (w8) nodes back to dense bf16 {'w', 'b'} nodes;
+    w8a8 nodes stay quantized (they run int8 MXU matmuls).
+
+    Call this INSIDE a jitted decode function, before the decode loop: the
+    dequant then traces once per call instead of once per decode STEP per
+    consumer — the difference between int8 footprint being free and the
+    round-1 w8 throughput regression. HBM keeps the int8 checkpoint; only the
+    transient per-call bf16 view exists on device.
+    """
+    import jax.numpy as jnp
+
+    def walk(t):
+        if isinstance(t, dict):
+            if "w_q" in t and "a8" not in t:
+                out = {
+                    "w": t["w_q"].astype(jnp.bfloat16)
+                    * t["scale"].astype(jnp.bfloat16)
+                }
+                if "b" in t:
+                    out["b"] = t["b"]
+                return out
+            return {k: walk(v) for k, v in t.items()}
+        if isinstance(t, list):
+            return [walk(v) for v in t]
+        return t
+
+    return walk(params)
+
+
 def quantize_encoder(params, mode="w8"):
     """Quantize only the encoder half (reference split_encoder quantization)."""
     return quantize_tree(params, mode, lambda p: bool(ENCODER_PAT.search(p)))

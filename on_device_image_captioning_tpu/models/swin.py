@@ -267,14 +267,13 @@ def swin_block(
     window, shift = effective_window(cfg, stage, block)
     b, l, c = x.shape
 
-    if (
-        cfg.attention_impl == "fused"
-        and not train
-        and "w_q" not in p["attn"]["qkv"]
-    ):
+    if cfg.attention_impl == "fused" and not train:
         from ..ops import swin_block_fused as sbf
 
-        if sbf.eligible(c, cfg.mlp_ratio, x.dtype):
+        # w8a8 nodes route through "halves" so the MLP half runs the int8 MXU
+        # kernel; attention stays bf16 (dequantized once per call)
+        a8 = "a8" in p["mlp"]["fc1"]
+        if not a8 and sbf.eligible(c, cfg.mlp_ratio, x.dtype):
             return _swin_block_fused_path(
                 p, cfg, x, stage, window, shift, dtype, mode="full"
             )

@@ -104,6 +104,25 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _weight(node: dict, dtype):
+    """Dense or int8-quantized linear node -> compute-dtype weight matrix.
+
+    For quantized nodes ({'w_q', 'scale'}, deploy/quantization.py) the dequant
+    runs ONCE per pallas_call under jit — unlike the XLA fallback, where the
+    dequant is re-materialized next to every consumer (the round-1 w8
+    regression). HBM keeps the int8 copy; only the transient bf16 view exists
+    per block invocation."""
+    if "w_q" in node:
+        return (node["w_q"].astype(dtype) * node["scale"].astype(dtype)).astype(
+            dtype
+        )
+    return node["w"].astype(dtype)
+
+
+def _bias_of(node: dict, d_out: int):
+    return node.get("b", jnp.zeros((d_out,)))
+
+
 def _block_kernel(
     x_ref,
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
@@ -186,13 +205,13 @@ def swin_block_fused(
 
     weights = [
         p["norm1"]["scale"], p["norm1"]["bias"],
-        p["attn"]["qkv"]["w"], p["attn"]["qkv"].get("b", jnp.zeros((3 * c,))),
-        p["attn"]["proj"]["w"], p["attn"]["proj"]["b"],
+        _weight(p["attn"]["qkv"], x.dtype), _bias_of(p["attn"]["qkv"], 3 * c),
+        _weight(p["attn"]["proj"], x.dtype), _bias_of(p["attn"]["proj"], c),
         p["norm2"]["scale"], p["norm2"]["bias"],
-        p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
-        p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
+        _weight(p["mlp"]["fc1"], x.dtype),
+        _bias_of(p["mlp"]["fc1"], p["mlp"]["fc1"]["w" if "w" in p["mlp"]["fc1"] else "w_q"].shape[1]),
+        _weight(p["mlp"]["fc2"], x.dtype), _bias_of(p["mlp"]["fc2"], c),
     ]
-    weights = [w.astype(x.dtype) if w.ndim == 2 else w for w in weights]
     in_specs = [
         pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         *[const(w.shape) for w in weights],
@@ -215,7 +234,8 @@ def swin_block_fused(
             _no_mask_wrapper, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
         )
 
-    mlp_hidden = p["mlp"]["fc1"]["w"].shape[1]
+    fc1 = p["mlp"]["fc1"]
+    mlp_hidden = (fc1["w"] if "w" in fc1 else fc1["w_q"]).shape[1]
     flops_per_row = 2 * c * (3 * c + c + 2 * mlp_hidden) + 2 * 2 * n * c
     return pl.pallas_call(
         kernel,
@@ -326,10 +346,9 @@ def swin_attn_half_fused(
 
     weights = [
         p["norm1"]["scale"], p["norm1"]["bias"],
-        p["attn"]["qkv"]["w"], p["attn"]["qkv"].get("b", jnp.zeros((3 * c,))),
-        p["attn"]["proj"]["w"], p["attn"]["proj"]["b"],
+        _weight(p["attn"]["qkv"], x.dtype), _bias_of(p["attn"]["qkv"], 3 * c),
+        _weight(p["attn"]["proj"], x.dtype), _bias_of(p["attn"]["proj"], c),
     ]
-    weights = [w.astype(x.dtype) if w.ndim == 2 else w for w in weights]
     in_specs = [
         pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         *[const(w.shape) for w in weights],
@@ -381,6 +400,38 @@ def _mlp_half_kernel(
     out_ref[:] = x + _linear(h, wfc2_ref, bfc2_ref)
 
 
+def _quant_rows(h):
+    """Per-row dynamic symmetric int8 quantization: (h_q int8, scale (R, 1))."""
+    s = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8) / 127.0
+    return jnp.clip(jnp.rint(h / s), -127, 127).astype(jnp.int8), s
+
+
+def _mlp_half_kernel_a8(
+    x_ref, g2_ref, b2_ref, w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2b_ref,
+    out_ref, *, eps,
+):
+    """int8 x int8 MXU MLP half (w8a8): weights stay int8 in VMEM, activations
+    quantize per row on the fly, int32 accumulation, float epilogue. The MXU's
+    int8 path has ~2x the bf16 throughput and this half is the backbone's most
+    MXU-bound kernel, so this is where int8 actually wins (VERDICT item 8)."""
+    x = x_ref[:]
+    h = _ln(x, g2_ref, b2_ref, eps).astype(jnp.float32)
+    hq, hs = _quant_rows(h)
+    acc = jax.lax.dot_general(
+        hq, w1q_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (hs * s1_ref[:]) + b1_ref[:]
+    y = _gelu_exact(y)
+    yq, ys = _quant_rows(y)
+    acc2 = jax.lax.dot_general(
+        yq, w2q_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    z = acc2.astype(jnp.float32) * (ys * s2_ref[:]) + b2b_ref[:]
+    out_ref[:] = x + z.astype(x.dtype)
+
+
 def _mlp_rows_per_program(total_rows: int, hidden: int) -> int:
     """Largest divisor of total_rows whose fp32+bf16 hidden fits ~4.5 MB."""
     cap = max(1, (4_500_000 // (6 * hidden)) or 1)
@@ -394,12 +445,16 @@ def _mlp_rows_per_program(total_rows: int, hidden: int) -> int:
 @functools.partial(jax.jit, static_argnames=("eps",))
 def swin_mlp_half_fused(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
     """x + fc2(gelu(fc1(LN2(x)))) over flat rows (R, C) — position-wise, so no
-    window layout is needed."""
+    window layout is needed. w8a8-quantized nodes run the int8 MXU kernel;
+    dense / weight-only nodes run the bf16 kernel (w8 dequants once per call).
+    """
     shape = x.shape
     c = shape[-1]
     rows = x.size // c
     xf = x.reshape(rows, c)
-    hidden = p["mlp"]["fc1"]["w"].shape[1]
+    fc1, fc2 = p["mlp"]["fc1"], p["mlp"]["fc2"]
+    a8 = "w_q" in fc1 and "a8" in fc1
+    hidden = (fc1["w_q"] if "w_q" in fc1 else fc1["w"]).shape[1]
     rpp = _mlp_rows_per_program(rows, hidden)
 
     def const(shp):
@@ -407,14 +462,22 @@ def swin_mlp_half_fused(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
             shp, lambda i: tuple(0 for _ in shp), memory_space=pltpu.VMEM
         )
 
-    weights = [
-        p["norm2"]["scale"], p["norm2"]["bias"],
-        p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
-        p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
-    ]
-    weights = [w.astype(x.dtype) if w.ndim == 2 else w for w in weights]
+    if a8:
+        kernel = functools.partial(_mlp_half_kernel_a8, eps=eps)
+        weights = [
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            fc1["w_q"], fc1["scale"], _bias_of(fc1, hidden),
+            fc2["w_q"], fc2["scale"], _bias_of(fc2, c),
+        ]
+    else:
+        kernel = functools.partial(_mlp_half_kernel, eps=eps)
+        weights = [
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            _weight(fc1, x.dtype), _bias_of(fc1, hidden),
+            _weight(fc2, x.dtype), _bias_of(fc2, c),
+        ]
     out = pl.pallas_call(
-        functools.partial(_mlp_half_kernel, eps=eps),
+        kernel,
         grid=(rows // rpp,),
         in_specs=[
             pl.BlockSpec((rpp, c), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -62,6 +62,64 @@ def test_fused_halves_match_xla_backbone(monkeypatch):
     )
 
 
+def test_fused_block_quantized_w8_close_to_xla_quantized():
+    """w8-quantized params must run THROUGH the fused kernels (the round-1
+    regression came from falling back to XLA with per-consumer dequant) and
+    stay close to the XLA quantized path."""
+    from on_device_image_captioning_tpu.deploy.quantization import quantize_tree
+
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    params = quantize_tree(
+        {"swin": swin.swin_init(jax.random.PRNGKey(8), TINY)}, "w8"
+    )["swin"]
+    base = swin.swin_apply(params, TINY, imgs)
+    fused_cfg = dataclasses.replace(TINY, attention_impl="fused")
+    got = swin.swin_apply(params, fused_cfg, imgs)
+    # XLA w8 dequantizes in bf16 even under fp32 compute; the kernel dequants
+    # in the compute dtype, so compare loosely
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_fused_mlp_half_a8_int8_accuracy():
+    """The int8-MXU MLP half (w8a8) must stay within dynamic-int8 error of the
+    dense MLP half."""
+    from on_device_image_captioning_tpu.deploy.quantization import quantize_linear
+    from on_device_image_captioning_tpu.ops.swin_block_fused import (
+        swin_mlp_half_fused,
+    )
+
+    rng = np.random.default_rng(9)
+    c, hidden, rows = 32, 128, 64
+    p_dense = {
+        "norm2": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))},
+        "mlp": {
+            "fc1": {
+                "w": jnp.asarray(rng.standard_normal((c, hidden), dtype=np.float32) * 0.1),
+                "b": jnp.asarray(rng.standard_normal((hidden,), dtype=np.float32) * 0.1),
+            },
+            "fc2": {
+                "w": jnp.asarray(rng.standard_normal((hidden, c), dtype=np.float32) * 0.1),
+                "b": jnp.asarray(rng.standard_normal((c,), dtype=np.float32) * 0.1),
+            },
+        },
+    }
+    p_q = {
+        "norm2": p_dense["norm2"],
+        "mlp": {
+            "fc1": jax.tree.map(jnp.asarray, quantize_linear(p_dense["mlp"]["fc1"], "w8a8")),
+            "fc2": jax.tree.map(jnp.asarray, quantize_linear(p_dense["mlp"]["fc2"], "w8a8")),
+        },
+    }
+    x = jnp.asarray(rng.standard_normal((rows, c), dtype=np.float32))
+    dense = np.asarray(swin_mlp_half_fused(x, p_dense, 1e-5))
+    quant = np.asarray(swin_mlp_half_fused(x, p_q, 1e-5))
+    rel = np.sqrt(np.mean((dense - quant) ** 2)) / np.sqrt(np.mean(dense**2))
+    assert rel < 0.05, rel
+
+
 def test_fused_block_respects_train_fallback():
     """train=True must not enter the fused kernel (dropout/drop-path live only
     on the XLA path): outputs with dropout rates zero still match XLA."""
