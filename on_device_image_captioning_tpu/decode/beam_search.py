@@ -135,7 +135,7 @@ def _gather_beam_rows(state, indices: jnp.ndarray):
         take = lambda a: jnp.take(a, indices, axis=0)
         return node._replace(
             keys=take(node.keys), ca=take(node.ca), cb=take(node.cb),
-            queries=take(node.queries), vals_a=take(node.vals_a),
+            cond=take(node.cond), vals_a=take(node.vals_a),
             vals_b=take(node.vals_b),
         )
 

@@ -11,8 +11,10 @@ row-local (reference models/layers.py:176-195):
 - forward rows (i, e) normalize z[(i,e), j<=i] over keys j <= i — computable at
   step i from cached per-position key projections;
 - backward row i normalizes z^T[i, (j,e)] over all expansions of positions j <= i —
-  z^T[i, (j,e)] = query[(j,e)] . key[i], computable at step i from cached
-  per-position (query + cond) vectors;
+  z^T[i, (j,e)] = query[(j,e)] . key[i] = (query_exp[e] + cond[j]) . key[i],
+  computable at step i from the cached per-position cond vectors as two small
+  dots (exact up to fp32 addition order: the full forward sums the rank-1
+  terms before the dot, here after);
 - the values the backward row consumes, vals[(j,e)] = class_fw[(j,e)] + bias[(j,e)],
   were finalized at step j (their forward normalization only covers keys <= j) and
   never change.
@@ -36,12 +38,18 @@ from ..models.common import layernorm, linear
 
 
 class LayerCache(NamedTuple):
-    """Per-decoder-layer incremental caches (leading dim B, position dim max_len)."""
+    """Per-decoder-layer incremental caches (leading dim B, position dim max_len).
+
+    The reference's per-position query block is queries[l, e] = query_exp[e] +
+    cond(x2[l]) — rank-structured in (l, e) — so only cond (B, L, d) is cached
+    and the backward scores decompose into two small dots (see _dyn_exp_step).
+    This makes the cache 16x (=E) smaller than storing queries outright, which
+    matters because the beam reshuffle regathers every cache each step."""
 
     keys: jnp.ndarray  # (B, L, d)    key_linear(x2) per position
     ca: jnp.ndarray  # (B, L, d)    class_a_embed(x2) per position
     cb: jnp.ndarray  # (B, L, d)    class_b_embed(x2) per position
-    queries: jnp.ndarray  # (B, L, E, d) query_exp + cond(x2) per position
+    cond: jnp.ndarray  # (B, L, d)    cond_embed(x2) per position
     vals_a: jnp.ndarray  # (B, L, E, d) forward result + bias (backward operand)
     vals_b: jnp.ndarray  # (B, L, E, d)
     k_cross: jnp.ndarray  # (B, S, d)    Wk(enc_out), projected once
@@ -100,7 +108,7 @@ def init_state(
                 keys=jnp.zeros((b, max_len, d), cache_dtype),
                 ca=jnp.zeros((b, max_len, d), cache_dtype),
                 cb=jnp.zeros((b, max_len, d), cache_dtype),
-                queries=jnp.zeros((b, max_len, e, d), cache_dtype),
+                cond=jnp.zeros((b, max_len, d), cache_dtype),
                 vals_a=jnp.zeros((b, max_len, e, d), cache_dtype),
                 vals_b=jnp.zeros((b, max_len, e, d), cache_dtype),
                 k_cross=linear(mha["Wk"], enc_output).astype(cache_dtype),
@@ -139,13 +147,14 @@ def _dyn_exp_step(
         sel = jax.nn.sigmoid(
             linear(p["selector_embed"], x2, dtype).astype(jnp.float32)
         )
-        out, keys, ca, cb, queries, vals_a, vals_b = dyn_exp_step_pallas(
-            pos, q_i, bias_i, k_i, ca_i, cb_i, sel,
-            cache.keys, cache.ca, cache.cb, cache.queries, cache.vals_a,
+        out, keys, ca, cb, cond_c, vals_a, vals_b = dyn_exp_step_pallas(
+            pos, q_i, bias_i, k_i, ca_i, cb_i, cond, sel,
+            p["query_exp"]["embed"],
+            cache.keys, cache.ca, cache.cb, cache.cond, cache.vals_a,
             cache.vals_b, eps=cfg.eps,
         )
         return out, cache._replace(
-            keys=keys, ca=ca, cb=cb, queries=queries, vals_a=vals_a,
+            keys=keys, ca=ca, cb=cb, cond=cond_c, vals_a=vals_a,
             vals_b=vals_b,
         )
 
@@ -153,7 +162,7 @@ def _dyn_exp_step(
     keys = cache.keys.at[:, pos].set(k_i.astype(cd))
     ca = cache.ca.at[:, pos].set(ca_i.astype(cd))
     cb = cache.cb.at[:, pos].set(cb_i.astype(cd))
-    queries = cache.queries.at[:, pos].set(q_i.astype(cd))
+    cond_c = cache.cond.at[:, pos].set(cond.astype(cd))
 
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) <= pos
@@ -173,11 +182,18 @@ def _dyn_exp_step(
     vals_a = cache.vals_a.at[:, pos].set((fw_a + bias_i).astype(cd))
     vals_b = cache.vals_b.at[:, pos].set((fw_b + bias_i).astype(cd))
 
-    # backward row pos: z column (B, L, E) = queries . k_i
-    z_col = jnp.einsum(
-        "bled,bd->ble", queries, k_i.astype(queries.dtype),
+    # backward row pos: z column (B, L, E) = queries . k_i where
+    # queries[l, e] = query_exp[e] + cond[l] — rank-structured, so the column
+    # decomposes into two small dots instead of reading an (L, E, d) cache
+    kq = k_i.astype(cd)
+    ze = jnp.einsum(
+        "ed,bd->be", p["query_exp"]["embed"].astype(cd), kq,
         preferred_element_type=jnp.float32,
-    ) / (d**0.5)
+    )  # (B, E)
+    zc = jnp.einsum(
+        "bld,bd->bl", cond_c, kq, preferred_element_type=jnp.float32
+    )  # (B, L)
+    z_col = (zc[:, :, None] + ze[:, None, :]) / (d**0.5)  # (B, L, E)
     a_bw = jnp.where(valid[:, :, None], jax.nn.relu(z_col), 0.0).reshape(b, L * e)
     b_bw = jnp.where(valid[:, :, None], jax.nn.relu(-z_col), 0.0).reshape(b, L * e)
     a_bw = a_bw / (jnp.sum(a_bw, axis=-1, keepdims=True) + cfg.eps)
@@ -192,7 +208,7 @@ def _dyn_exp_step(
     selector = jax.nn.sigmoid(linear(p["selector_embed"], x2, dtype).astype(jnp.float32))
     out = selector * out_a + (1.0 - selector) * out_b
     new_cache = cache._replace(
-        keys=keys, ca=ca, cb=cb, queries=queries, vals_a=vals_a, vals_b=vals_b
+        keys=keys, ca=ca, cb=cb, cond=cond_c, vals_a=vals_a, vals_b=vals_b
     )
     return out, new_cache
 

@@ -7,16 +7,22 @@ fuses the whole step into one pass per batch row with the caches updated
 IN PLACE via input/output aliasing + donation — the cache buffers are never
 copied, and the z scores / normalized weights never touch HBM.
 
+The per-position query block queries[l, e] = query_exp[e] + cond(x2[l]) is
+rank-structured, so only cond (L, d) is cached (16x smaller than storing the
+(L, E, d) queries) and the backward score column is computed as two small dots
+expanded to the flat (L*E) layout with one-hot matmuls.
+
 The five d x d projections (cond/key/class_a/class_b/selector) stay in XLA where
 the MXU handles the batched GEMMs; the kernel consumes their outputs.
 
 Numerics match decode/cache._dyn_exp_step to fp32 reduction-order differences
-(same masking, eps, bf16 products, fp32 accumulation; exact equivalence asserted
-in interpreter mode in tests/test_pallas_ops.py). On hardware the different
-accumulation order can flip beam choices on near-ties, so the XLA path stays the
-default for reference parity. Measured on TPU v5e (full-size head, beam 3,
-20 steps, pipelined): batch 8 10.53 ms vs XLA 10.98 ms; batch 1 2.66 ms vs
-2.88 ms. Opt-in via decode.cache.set_dyn_step_impl('pallas').
+(same masking, eps, bf16 products, fp32 accumulation; equivalence asserted in
+interpreter mode in tests/test_pallas_ops.py). On hardware the different
+accumulation order can flip beam choices on near-ties vs the reference-exact
+XLA path; the token-parity fuzz in tests/test_decode.py covers this impl too.
+Measured on TPU v5e (full-size head, beam 3, 20 steps, pipelined): batch 8
+10.53 ms vs XLA 10.98 ms (pre-cond-cache figures; bench.py reruns each round).
+Enabled via decode.cache.set_dyn_step_impl('pallas') (the bench default).
 """
 from __future__ import annotations
 
@@ -30,22 +36,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     pos_ref,  # scalar prefetch (1,) int32
-    q_ref,  # in  (1, E, d)
-    bias_ref,  # in  (1, E, d)
+    q_ref,  # in  (1, E, d)  query_exp + cond at pos
+    bias_ref,  # in  (1, E, d)  bias_exp + cond at pos
     k_ref,  # in  (1, d)
     ca_in_ref,  # in  (1, d)
     cb_in_ref,  # in  (1, d)
+    cond_in_ref,  # in  (1, d)
     sel_ref,  # in  (1, d) selector (sigmoid already applied)
+    embed_ref,  # in  (E, d) query_exp embedding (shared across rows)
     _keys_in,  # in  (1, L, d)    aliased with keys_ref
     _ca_in,  # in  (1, L, d)    aliased
     _cb_in,  # in  (1, L, d)    aliased
-    _queries_in,  # in  (1, L, E, d) aliased
+    _cond_in,  # in  (1, L, d)    aliased
     _vals_a_in,  # in  (1, L, E, d) aliased
     _vals_b_in,  # in  (1, L, E, d) aliased
     keys_ref,  # out (1, L, d)
     ca_ref,  # out (1, L, d)
     cb_ref,  # out (1, L, d)
-    queries_ref,  # out (1, L, E, d)
+    cond_ref,  # out (1, L, d)
     vals_a_ref,  # out (1, L, E, d)
     vals_b_ref,  # out (1, L, E, d)
     out_ref,  # out (1, d)
@@ -71,9 +79,7 @@ def _kernel(
     keys_ref[0] = jnp.where(onehot2, k_row.astype(cd), keys_ref[0])
     ca_ref[0] = jnp.where(onehot2, ca_in_ref[0].astype(cd), ca_ref[0])
     cb_ref[0] = jnp.where(onehot2, cb_in_ref[0].astype(cd), cb_ref[0])
-    queries_ref[0] = jnp.where(
-        onehot3, q_ref[0].astype(cd)[None], queries_ref[0]
-    )
+    cond_ref[0] = jnp.where(onehot2, cond_in_ref[0].astype(cd), cond_ref[0])
 
     valid_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) <= pos  # (1, L)
 
@@ -109,19 +115,42 @@ def _kernel(
         onehot3, (fw_b + bias).astype(cd)[None], vals_b_ref[0]
     )
 
-    # --- backward row pos: z column over all cached queries -----------------
-    # computed directly in (1, L*E) layout (k_i contracted against q_all) so no
-    # rank-changing vector reshapes are needed; the position mask comes from a
-    # flat iota divided by E
+    # --- backward row pos: z column over all cached (query_exp + cond) -------
+    # z[(l, e)] = (cond[l] + query_exp[e]) . k — two small dots expanded to the
+    # flat (1, L*E) layout via constant one-hot matmuls (no rank-changing
+    # vector reshapes, no dynamic lane gathers)
     k_i = k_row.astype(cd).astype(jnp.float32)  # (1, d)
-    q_all = queries_ref[0].reshape(L * E, d).astype(jnp.float32)
-    z_col = jax.lax.dot_general(
-        k_i, q_all, dimension_numbers=(((1,), (1,)), ((), ())),
+    zc = jax.lax.dot_general(
+        k_i, cond_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+    )  # (1, L)
+    ze = jax.lax.dot_general(
+        k_i, embed_ref[:].astype(cd).astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, E)
+    flat_idx = jax.lax.broadcasted_iota(jnp.int32, (1, L * E), 1)
+    # expansion matrices: M_l[l, l*E+e] = 1 ; M_e[e, l*E+e] = 1
+    m_l = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, L * E), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (L, L * E), 1) // E
+    ).astype(jnp.float32)
+    m_e = (
+        jax.lax.broadcasted_iota(jnp.int32, (E, L * E), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (E, L * E), 1) % E
+    ).astype(jnp.float32)
+    z_col = (
+        jax.lax.dot_general(
+            zc, m_l, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            ze, m_e, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     ) / (d**0.5)  # (1, L*E)
-    valid_flat = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, L * E), 1) // E <= pos
-    )  # (1, L*E)
+    valid_flat = flat_idx // E <= pos  # (1, L*E)
     a_bw = jnp.where(valid_flat, jnp.maximum(z_col, 0.0), 0.0)
     b_bw = jnp.where(valid_flat, jnp.maximum(-z_col, 0.0), 0.0)
     a_bw = a_bw / (jnp.sum(a_bw, axis=-1, keepdims=True) + eps)
@@ -144,28 +173,31 @@ def _kernel(
 
 def dyn_exp_step_pallas(
     pos,  # scalar int32
-    q_i,  # (B, E, d)
+    q_i,  # (B, E, d) query_exp + cond at pos
     bias_i,  # (B, E, d)
     k_i,  # (B, d)
     ca_i,  # (B, d)
     cb_i,  # (B, d)
+    cond_i,  # (B, d)
     sel,  # (B, d) sigmoid(selector_embed(x2))
+    embed,  # (E, d) query_exp embedding
     keys,  # (B, L, d)
     ca,  # (B, L, d)
     cb,  # (B, L, d)
-    queries,  # (B, L, E, d)
+    cond,  # (B, L, d)
     vals_a,  # (B, L, E, d)
     vals_b,  # (B, L, E, d)
     eps: float = 1e-9,
 ):
-    """Returns (out (B, d) fp32, keys, ca, cb, queries, vals_a, vals_b updated)."""
-    b, L, E, d = queries.shape
+    """Returns (out (B, d) fp32, keys, ca, cb, cond, vals_a, vals_b updated)."""
+    b, L, E, d = vals_a.shape
     cd = keys.dtype
 
     # index maps receive (grid index, scalar-prefetch ref) under
     # PrefetchScalarGridSpec
     row = lambda i, _p: (i, 0, 0)
     row4 = lambda i, _p: (i, 0, 0, 0)
+    const2 = lambda i, _p: (0, 0)
     # 2D (B, d) tensors ride reshaped to (B, 1, d) so each (1, 1, d) block's
     # trailing dims equal the array dims (Mosaic's tiling constraint)
     in_specs = [
@@ -175,10 +207,12 @@ def dyn_exp_step_pallas(
         pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, d), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
     ]
@@ -186,7 +220,7 @@ def dyn_exp_step_pallas(
         pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
@@ -195,7 +229,7 @@ def dyn_exp_step_pallas(
         jax.ShapeDtypeStruct(keys.shape, cd),
         jax.ShapeDtypeStruct(ca.shape, cd),
         jax.ShapeDtypeStruct(cb.shape, cd),
-        jax.ShapeDtypeStruct(queries.shape, cd),
+        jax.ShapeDtypeStruct(cond.shape, cd),
         jax.ShapeDtypeStruct(vals_a.shape, cd),
         jax.ShapeDtypeStruct(vals_b.shape, cd),
         jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
@@ -208,8 +242,8 @@ def dyn_exp_step_pallas(
         out_specs=out_specs,
     )
     kernel = functools.partial(_kernel, eps=eps, L=L, E=E, d=d)
-    # positional inputs: 0=pos scalar, 1..6 step tensors, 7..12 caches -> outs 0..5
-    aliases = {7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5}
+    # positional inputs: 0=pos scalar, 1..8 step tensors, 9..14 caches -> outs 0..5
+    aliases = {9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5}
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -220,8 +254,10 @@ def dyn_exp_step_pallas(
         jnp.asarray(pos, jnp.int32).reshape(1),
         q_i.astype(cd), bias_i.astype(cd),
         k_i.astype(cd).reshape(b, 1, d), ca_i.astype(cd).reshape(b, 1, d),
-        cb_i.astype(cd).reshape(b, 1, d), sel.astype(jnp.float32).reshape(b, 1, d),
-        keys, ca, cb, queries, vals_a, vals_b,
+        cb_i.astype(cd).reshape(b, 1, d), cond_i.astype(cd).reshape(b, 1, d),
+        sel.astype(jnp.float32).reshape(b, 1, d),
+        embed.astype(cd),
+        keys, ca, cb, cond, vals_a, vals_b,
     )
-    new_keys, new_ca, new_cb, new_q, new_va, new_vb, out = outs
-    return out.reshape(b, d), new_keys, new_ca, new_cb, new_q, new_va, new_vb
+    new_keys, new_ca, new_cb, new_cond, new_va, new_vb, out = outs
+    return out.reshape(b, d), new_keys, new_ca, new_cb, new_cond, new_va, new_vb
