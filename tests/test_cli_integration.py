@@ -42,9 +42,12 @@ def corpus(tmp_path_factory):
     return {"ann": str(ann), "features": str(feat), "root": str(root)}
 
 
+# 1+1 layers: the CLI tests exercise loop/phase/IO logic, and every compile
+# here runs on a 1-core box; multi-layer model semantics are covered by the
+# parity suites
 TINY_FLAGS = [
-    "--model_dim", "32", "--N_enc", "2", "--N_dec", "2", "--ff", "64",
-    "--num_heads", "4", "--num_exp_enc_list", "4", "8", "--num_exp_dec", "4",
+    "--model_dim", "32", "--N_enc", "1", "--N_dec", "1", "--ff", "64",
+    "--num_heads", "4", "--num_exp_enc_list", "4", "--num_exp_dec", "4",
     "--img_feature_dim", str(FEAT_DIM),
 ]
 
@@ -123,7 +126,7 @@ def test_train_cli_shards_over_virtual_mesh(corpus, tmp_path, monkeypatch):
     )
     assert rc == 0
     mesh = captured["mesh"]
-    assert mesh.shape == {"data": 8, "model": 1}  # all 8 virtual devices used
+    assert mesh.shape == {"data": 4, "model": 1}  # all 4 virtual devices used
     for leaf in jax.tree.leaves(captured["state"]):
         assert isinstance(leaf.sharding, NamedSharding)
         assert leaf.sharding.mesh == mesh
@@ -133,10 +136,10 @@ def test_train_cli_shards_over_virtual_mesh(corpus, tmp_path, monkeypatch):
     assert w.sharding.is_equivalent_to(NamedSharding(mesh, P()), w.ndim)
 
 
-def test_generate_features_cli(corpus, tmp_path):
-    """Feature-generation over real (synthetic) JPEGs with the full Swin config is
-    too slow for CI; instead drive the FeatureStore write path it uses plus the
-    image preprocessing helper on generated files."""
+def test_image_preprocessing_helper(corpus, tmp_path):
+    """JPEG decode + resize helper used by the feature-generation CLI (the CLI
+    itself is driven end-to-end on a tiny Swin in
+    test_generate_features_and_end_to_end_evaluate)."""
     from PIL import Image
 
     from on_device_image_captioning_tpu.utils.image import preprocess_batch
@@ -165,7 +168,7 @@ def test_evaluate_ensemble_and_quantized(corpus, tmp_path):
     from on_device_image_captioning_tpu.utils.checkpointing import save_checkpoint
 
     cfg = CaptionerConfig(
-        d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
+        d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=10000, max_seq_len=12, img_feature_dim=FEAT_DIM,
     )
     paths = []
@@ -308,7 +311,7 @@ def test_evaluate_pruned_checkpoint(corpus, tmp_path):
 
     ds = load_coco_karpathy(corpus["ann"], dict_min_occurrences=1)
     cfg = CaptionerConfig(
-        d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
+        d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=len(ds.vocab), max_seq_len=12,
         img_feature_dim=FEAT_DIM,
     )

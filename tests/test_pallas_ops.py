@@ -261,12 +261,15 @@ def test_dyn_exp_step_kernel_matches_xla():
     cross = cap.forward_enc(params, cfg, feats)
 
     def run():
+        # jit once per impl: tracing 7 interpreter-mode kernel steps eagerly
+        # dominated this test's runtime on the 1-core box
+        step = jax.jit(
+            lambda st, tok, pos: dc.dec_step(params, cfg, st, tok, pos)
+        )
         state = dc.init_state(params, cfg, cross, max_len=tokens.shape[1])
         outs = []
         for t in range(tokens.shape[1]):
-            lp, state = dc.dec_step(
-                params, cfg, state, jnp.asarray(tokens[:, t]), jnp.int32(t)
-            )
+            lp, state = step(state, jnp.asarray(tokens[:, t]), jnp.int32(t))
             outs.append(np.asarray(lp))
         return outs
 

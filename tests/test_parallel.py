@@ -1,4 +1,4 @@
-"""Parallelism tests on the 8-device virtual CPU mesh: sharded-batch inference
+"""Parallelism tests on the 4-device virtual CPU mesh: sharded-batch inference
 equals single-device results, TP-sharded params keep the forward exact, and the
 sharding rules hit the intended weights."""
 import numpy as np
@@ -31,7 +31,7 @@ def setup():
 
 def test_dp_sharded_beam_decode_matches_single_device(setup):
     """The serving path under pure data parallelism: batch sharded on the 'data'
-    axis across 8 devices must caption identically to one device."""
+    axis across 4 devices must caption identically to one device."""
     params, feats = setup
     dcfg = DecodeConfig(beam_size=3, how_many_outputs=1, max_seq_len=12,
                         sos_idx=2, eos_idx=3)
@@ -43,7 +43,7 @@ def test_dp_sharded_beam_decode_matches_single_device(setup):
 
     base_toks, base_lens = jax.jit(decode)(params, jnp.asarray(feats))
 
-    mesh = pm.make_mesh(n_data=8, n_model=1)
+    mesh = pm.make_mesh(n_data=4, n_model=1)
     params_sh = pm.shard_params(params, mesh)
     feats_sh = jax.device_put(
         jnp.asarray(feats), NamedSharding(mesh, P("data", None, None))
@@ -65,7 +65,7 @@ def test_tp_sharded_forward_exact(setup):
 
     base = jax.jit(fwd)(params, jnp.asarray(feats), jnp.asarray(toks))
 
-    mesh = pm.make_mesh(n_data=4, n_model=2)
+    mesh = pm.make_mesh(n_data=2, n_model=2)
     params_sh = pm.shard_params(params, mesh)
     batch = pm.shard_batch({"f": jnp.asarray(feats), "t": jnp.asarray(toks)}, mesh)
     got = jax.jit(fwd)(params_sh, batch["f"], batch["t"])
@@ -75,11 +75,11 @@ def test_tp_sharded_forward_exact(setup):
 
 def test_make_default_mesh_divides_batch():
     """The CLI-facing mesh constructor uses as many devices as evenly divide the
-    batch (8 virtual devices in this suite)."""
-    assert pm.make_default_mesh(8).shape == {"data": 8, "model": 1}
-    assert pm.make_default_mesh(12).shape["data"] == 4  # gcd(12, 8)
+    batch (4 virtual devices in this suite)."""
+    assert pm.make_default_mesh(8).shape == {"data": 4, "model": 1}
+    assert pm.make_default_mesh(12).shape["data"] == 4  # gcd(12, 4)
     assert pm.make_default_mesh(7).shape["data"] == 1
-    assert pm.make_default_mesh(8, n_model=2).shape == {"data": 4, "model": 2}
+    assert pm.make_default_mesh(8, n_model=2).shape == {"data": 2, "model": 2}
 
 
 def test_shard_train_state_places_params_and_moments(setup):
@@ -94,7 +94,7 @@ def test_shard_train_state_places_params_and_moments(setup):
         radam.radam(lambda _: 1e-4, b1=0.9, b2=0.98, eps=1e-9), num_accum=2
     )
     state = train_step.init_train_state(params, opt)
-    mesh = pm.make_mesh(n_data=4, n_model=2)
+    mesh = pm.make_mesh(n_data=2, n_model=2)
     st = pm.shard_train_state(state, mesh)
 
     def spec_of(x):

@@ -145,7 +145,7 @@ def test_dryrun_multichip():
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
     from __graft_entry__ import dryrun_multichip
 
-    dryrun_multichip(8)
+    dryrun_multichip(4)
 
 
 def test_remat_grads_match():
@@ -161,13 +161,15 @@ def test_remat_grads_match():
     from on_device_image_captioning_tpu.models import swin
 
     cfg = _tiny_model_cfg()
-    swin_cfg = dataclasses.replace(cfg.swin, depths=(4, 2), drop_path_rate=0.1)
+    # depths (4, 1): stage 0 deep enough to take the lax.scan path, one
+    # unrolled block in stage 1 — the smallest config covering both remat paths
+    swin_cfg = dataclasses.replace(cfg.swin, depths=(4, 1), drop_path_rate=0.1)
     # remat only wraps the Swin blocks (reference swin_transformer_mod.py:591-593),
     # so differentiating the backbone alone covers the claim at a fraction of the
-    # end-to-end compile cost (this box is 1-core and compiles for 8 virtual devs)
+    # end-to-end compile cost (this box is 1-core)
     params = swin.swin_init(jax.random.PRNGKey(0), swin_cfg)
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    imgs = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
 
     def loss(params, remat):
         out = swin.swin_apply(
