@@ -71,8 +71,8 @@ def beam_search(
         enc_num_pads=enc_num_pads,
     )
 
-    def step_fn(state, tokens, pos):
-        return dc.dec_step(params, cfg, state, tokens, pos, dtype)
+    def step_fn(state, tokens, pos, reorder=None):
+        return dc.dec_step(params, cfg, state, tokens, pos, dtype, reorder=reorder)
 
     return beam_loop(
         step_fn, state, enc_output.shape[0], decode_cfg, rng
@@ -100,10 +100,10 @@ def ensemble_beam_search(
         for p, e in zip(params_list, enc_outputs)
     ]
 
-    def step_fn(states, tokens, pos):
+    def step_fn(states, tokens, pos, reorder=None):
         logps, new_states = [], []
         for p, s in zip(params_list, states):
-            lp, ns = dc.dec_step(p, cfg, s, tokens, pos, dtype)
+            lp, ns = dc.dec_step(p, cfg, s, tokens, pos, dtype, reorder=reorder)
             logps.append(lp)
             new_states.append(ns)
         avg = jnp.log(
@@ -120,28 +120,6 @@ def _gather_rows(state, indices: jnp.ndarray):
     """Reorder the leading batch axis of every array leaf (used once to expand
     the per-image state to per-beam rows)."""
     return jax.tree.map(lambda a: jnp.take(a, indices, axis=0), state)
-
-
-def _gather_beam_rows(state, indices: jnp.ndarray):
-    """In-loop beam reshuffle: like _gather_rows but skips the cross-attention
-    K/V caches and the encoder pad mask — `indices` only permutes rows within
-    each image's beam group and those are identical across a group (expanded
-    from one encoder output) and never written, so gathering them would be pure
-    HBM traffic."""
-
-    def gather_cache(node):
-        if not isinstance(node, dc.LayerCache):
-            return node  # e.g. DecState.enc_mask: beam-invariant, skip
-        take = lambda a: jnp.take(a, indices, axis=0)
-        return node._replace(
-            keys=take(node.keys), ca=take(node.ca), cb=take(node.cb),
-            cond=take(node.cond), vals_a=take(node.vals_a),
-            vals_b=take(node.vals_b),
-        )
-
-    return jax.tree.map(
-        gather_cache, state, is_leaf=lambda x: isinstance(x, dc.LayerCache)
-    )
 
 
 def beam_loop(
@@ -162,7 +140,7 @@ def beam_loop(
 
     # ---- step 1: expand SOS into beam_size beams (reference :241-271) ----
     sos_tok = jnp.full((b,), sos, jnp.int32)
-    logp0, state = step_fn(state, sos_tok, jnp.int32(0))
+    logp0, state = step_fn(state, sos_tok, jnp.int32(0), None)
     rng, sub = jax.random.split(rng)
     first_vals, first_idx = _candidates(logp0, k, sample, sub)  # (B, K)
 
@@ -185,6 +163,7 @@ def beam_loop(
         num_elem: jnp.ndarray
         finished: jnp.ndarray
         state: object
+        reorder: jnp.ndarray  # (B*K,) pending beam reshuffle, fused into step
         rng: jax.Array
 
     def cond(c: Carry):
@@ -194,7 +173,12 @@ def beam_loop(
     def body(c: Carry):
         t = c.t
         last = jax.lax.dynamic_index_in_dim(c.tokens, t - 1, axis=2, keepdims=False)
-        logp, state = step_fn(c.state, last.reshape(b * k), t - 1)  # (B*K, V)
+        # the previous iteration's reshuffle is applied INSIDE the step (the
+        # Pallas decode kernel gathers cache rows through its index maps; the
+        # XLA path does the identical jnp.take) — no separate gather pass
+        logp, state = step_fn(
+            c.state, last.reshape(b * k), t - 1, c.reorder
+        )  # (B*K, V)
         rng, sub = jax.random.split(c.rng)
         cand_vals, cand_idx = _candidates(logp, k, sample, sub)
         cand_vals = cand_vals.reshape(b, k, k)
@@ -245,15 +229,15 @@ def beam_loop(
         flat_gather = (
             jnp.arange(b, dtype=jnp.int32)[:, None] * k + which_seq
         ).reshape(b * k)
-        new_state = _gather_beam_rows(state, flat_gather)
 
         return Carry(
             t + 1, new_tokens, new_logprobs, new_cumul, new_num_elem, new_finished,
-            new_state, rng,
+            state, flat_gather, rng,
         )
 
     init = Carry(
-        jnp.int32(2), tokens, logprobs, cumul, num_elem, finished, state, rng
+        jnp.int32(2), tokens, logprobs, cumul, num_elem, finished, state,
+        jnp.arange(b * k, dtype=jnp.int32), rng,
     )
     out = jax.lax.while_loop(cond, body, init)
 

@@ -125,10 +125,13 @@ def _dyn_exp_step(
     x2: jnp.ndarray,
     pos: jnp.ndarray,
     dtype=None,
+    reorder: Optional[jnp.ndarray] = None,
 ):
     """One-position Dynamic Expansion (exact; see module docstring).
 
     x2: (B, d) normalized input at position `pos`. Returns ((B, d), updated cache).
+    reorder: (B,) beam-source rows, fused into the Pallas kernel's cache reads
+    (the XLA path receives pre-gathered caches from dec_step instead).
     """
     b, d = x2.shape
     e = cfg.num_exp_dec
@@ -151,7 +154,7 @@ def _dyn_exp_step(
             pos, q_i, bias_i, k_i, ca_i, cb_i, cond, sel,
             p["query_exp"]["embed"],
             cache.keys, cache.ca, cache.cb, cache.cond, cache.vals_a,
-            cache.vals_b, eps=cfg.eps,
+            cache.vals_b, eps=cfg.eps, reorder=reorder,
         )
         return out, cache._replace(
             keys=keys, ca=ca, cb=cb, cond=cond_c, vals_a=vals_a,
@@ -250,14 +253,36 @@ def dec_step(
     tokens: jnp.ndarray,
     pos: jnp.ndarray,
     dtype=None,
+    reorder: Optional[jnp.ndarray] = None,
 ):
     """Decode one position for the whole batch.
 
     tokens: (B,) int32 input tokens at position `pos` (scalar int32). Returns
     (log_probs (B, vocab), new state). Matches
     forward_dec(..., apply_log_softmax=True)[:, pos] exactly.
+
+    reorder: optional (B,) int32 — output row i continues input row
+    reorder[i]'s history (the beam reshuffle). Fusing it here lets the Pallas
+    step gather cache rows through its index maps instead of a separate
+    full-cache gather pass per step; the XLA path applies the identical
+    jnp.take. k_cross/v_cross/enc_mask are beam-invariant within an image's
+    group and skip the reorder (see beam_search._gather_rows expansion).
     """
     b = tokens.shape[0]
+    if reorder is not None and _DYN_STEP_IMPL != "pallas":
+        take = lambda a: jnp.take(a, reorder, axis=0)
+        state = DecState(
+            layers=[
+                lc._replace(
+                    keys=take(lc.keys), ca=take(lc.ca), cb=take(lc.cb),
+                    cond=take(lc.cond), vals_a=take(lc.vals_a),
+                    vals_b=take(lc.vals_b),
+                )
+                for lc in state.layers
+            ],
+            enc_mask=state.enc_mask,
+        )
+        reorder = None
     y = jnp.take(params["out_embedder"]["embed"], tokens, axis=0) * math.sqrt(
         float(cfg.d_model)
     )
@@ -269,7 +294,7 @@ def dec_step(
         lp = params["decoders"][i]
         cache = state.layers[i]
         x2 = layernorm(lp["norm_1"], y, cfg.ln_eps)
-        dyn, cache = _dyn_exp_step(lp["dyn_exp"], cfg, cache, x2, pos, dtype)
+        dyn, cache = _dyn_exp_step(lp["dyn_exp"], cfg, cache, x2, pos, dtype, reorder)
         y = y + dyn
         x2 = layernorm(lp["norm_2"], y, cfg.ln_eps)
         y = y + _cross_attention_step(lp["mha"], cfg, cache, x2, state.enc_mask, dtype)

@@ -3,9 +3,10 @@
 The beam-search hot loop (SURVEY hot-loop #1) runs decode/cache._dyn_exp_step
 per decoder layer per token: ~15 XLA ops over small tensors (cache row writes,
 two masked L1 normalizations, four small matmuls, selector mix). This kernel
-fuses the whole step into one pass per batch row with the caches updated
-IN PLACE via input/output aliasing + donation — the cache buffers are never
-copied, and the z scores / normalized weights never touch HBM.
+fuses the whole step into one pass per batch row; the beam reshuffle is fused
+into the cache reads via scalar-prefetched source-row index maps, so beam
+search never runs a separate gather pass over the caches, and the z scores /
+normalized weights never touch HBM.
 
 The per-position query block queries[l, e] = query_exp[e] + cond(x2[l]) is
 rank-structured, so only cond (L, d) is cached (16x smaller than storing the
@@ -36,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     pos_ref,  # scalar prefetch (1,) int32
+    src_ref,  # scalar prefetch (B,) int32 beam-source rows (used by index maps)
     q_ref,  # in  (1, E, d)  query_exp + cond at pos
     bias_ref,  # in  (1, E, d)  bias_exp + cond at pos
     k_ref,  # in  (1, d)
@@ -44,12 +46,12 @@ def _kernel(
     cond_in_ref,  # in  (1, d)
     sel_ref,  # in  (1, d) selector (sigmoid already applied)
     embed_ref,  # in  (E, d) query_exp embedding (shared across rows)
-    _keys_in,  # in  (1, L, d)    aliased with keys_ref
-    _ca_in,  # in  (1, L, d)    aliased
-    _cb_in,  # in  (1, L, d)    aliased
-    _cond_in,  # in  (1, L, d)    aliased
-    _vals_a_in,  # in  (1, L, E, d) aliased
-    _vals_b_in,  # in  (1, L, E, d) aliased
+    _keys_in,  # in  (1, L, d)    cache row src_ref[i]
+    _ca_in,  # in  (1, L, d)
+    _cb_in,  # in  (1, L, d)
+    _cond_in,  # in  (1, L, d)
+    _vals_a_in,  # in  (1, L, E, d)
+    _vals_b_in,  # in  (1, L, E, d)
     keys_ref,  # out (1, L, d)
     ca_ref,  # out (1, L, d)
     cb_ref,  # out (1, L, d)
@@ -68,7 +70,9 @@ def _kernel(
     k_row = k_ref[0]  # (1, d) — per-row tensors ride as (1, 1, d) blocks
 
     # --- cache row writes at pos: dynamic sublane stores are not provable on
-    # tiled VMEM, so write full tiles through a one-hot select (tiles are tiny)
+    # tiled VMEM, so write full tiles through a one-hot select (tiles are tiny).
+    # Inputs come from the SOURCE beam row (src_ref-driven index maps); outputs
+    # are fresh buffers for row i — the fused beam reshuffle.
     # masks built at their final ranks: Mosaic cannot insert minor dims on i1
     onehot2 = (
         jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) == pos
@@ -76,10 +80,10 @@ def _kernel(
     onehot3 = (
         jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0) == pos
     )  # (L, 1, 1)
-    keys_ref[0] = jnp.where(onehot2, k_row.astype(cd), keys_ref[0])
-    ca_ref[0] = jnp.where(onehot2, ca_in_ref[0].astype(cd), ca_ref[0])
-    cb_ref[0] = jnp.where(onehot2, cb_in_ref[0].astype(cd), cb_ref[0])
-    cond_ref[0] = jnp.where(onehot2, cond_in_ref[0].astype(cd), cond_ref[0])
+    keys_ref[0] = jnp.where(onehot2, k_row.astype(cd), _keys_in[0])
+    ca_ref[0] = jnp.where(onehot2, ca_in_ref[0].astype(cd), _ca_in[0])
+    cb_ref[0] = jnp.where(onehot2, cb_in_ref[0].astype(cd), _cb_in[0])
+    cond_ref[0] = jnp.where(onehot2, cond_in_ref[0].astype(cd), _cond_in[0])
 
     valid_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) <= pos  # (1, L)
 
@@ -109,10 +113,10 @@ def _kernel(
     )
     bias = bias_ref[0].astype(jnp.float32)
     vals_a_ref[0] = jnp.where(
-        onehot3, (fw_a + bias).astype(cd)[None], vals_a_ref[0]
+        onehot3, (fw_a + bias).astype(cd)[None], _vals_a_in[0]
     )
     vals_b_ref[0] = jnp.where(
-        onehot3, (fw_b + bias).astype(cd)[None], vals_b_ref[0]
+        onehot3, (fw_b + bias).astype(cd)[None], _vals_b_in[0]
     )
 
     # --- backward row pos: z column over all cached (query_exp + cond) -------
@@ -188,16 +192,28 @@ def dyn_exp_step_pallas(
     vals_a,  # (B, L, E, d)
     vals_b,  # (B, L, E, d)
     eps: float = 1e-9,
+    reorder=None,  # (B,) int32 beam-source rows, or None for identity
 ):
-    """Returns (out (B, d) fp32, keys, ca, cb, cond, vals_a, vals_b updated)."""
+    """Returns (out (B, d) fp32, keys, ca, cb, cond, vals_a, vals_b updated).
+
+    reorder fuses the beam reshuffle into the kernel: output row i continues
+    cache row reorder[i] — the cache INPUT index maps read through the
+    scalar-prefetched source indices, so the separate per-step gather pass
+    over every cache disappears. (This disables input/output aliasing: rows
+    may be read by several outputs.)"""
     b, L, E, d = vals_a.shape
     cd = keys.dtype
+    if reorder is None:
+        reorder = jnp.arange(b, dtype=jnp.int32)
 
-    # index maps receive (grid index, scalar-prefetch ref) under
-    # PrefetchScalarGridSpec
-    row = lambda i, _p: (i, 0, 0)
-    row4 = lambda i, _p: (i, 0, 0, 0)
-    const2 = lambda i, _p: (0, 0)
+    # index maps receive (grid index, *scalar-prefetch refs) under
+    # PrefetchScalarGridSpec; cache INPUTS are indexed by the source row
+    row = lambda i, _p, _s: (i, 0, 0)
+    src_row = lambda i, _p, s: (s[i], 0, 0)
+    src_row4 = lambda i, _p, s: (s[i], 0, 0, 0)
+    out_row = lambda i, _p, _s: (i, 0, 0)
+    out_row4 = lambda i, _p, _s: (i, 0, 0, 0)
+    const2 = lambda i, _p, _s: (0, 0)
     # 2D (B, d) tensors ride reshaped to (B, 1, d) so each (1, 1, d) block's
     # trailing dims equal the array dims (Mosaic's tiling constraint)
     in_specs = [
@@ -209,21 +225,21 @@ def dyn_exp_step_pallas(
         pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((E, d), const2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), src_row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), src_row4, memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, d), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, L, E, d), row4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), out_row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), out_row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), out_row, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct(keys.shape, cd),
@@ -236,22 +252,20 @@ def dyn_exp_step_pallas(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=in_specs,
         out_specs=out_specs,
     )
     kernel = functools.partial(_kernel, eps=eps, L=L, E=E, d=d)
-    # positional inputs: 0=pos scalar, 1..8 step tensors, 9..14 caches -> outs 0..5
-    aliases = {9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5}
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases=aliases,
         interpret=jax.default_backend() != "tpu",
     )(
         jnp.asarray(pos, jnp.int32).reshape(1),
+        jnp.asarray(reorder, jnp.int32).reshape(b),
         q_i.astype(cd), bias_i.astype(cd),
         k_i.astype(cd).reshape(b, 1, d), ca_i.astype(cd).reshape(b, 1, d),
         cb_i.astype(cd).reshape(b, 1, d), cond_i.astype(cd).reshape(b, 1, d),
