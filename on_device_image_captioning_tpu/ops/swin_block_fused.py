@@ -42,14 +42,19 @@ _WEIGHT_BYTES_CAP = 8 * 1024 * 1024
 _HALF_WEIGHT_BYTES_CAP = 10 * 1024 * 1024
 
 
-def windows_per_program(num_windows: int, n_tokens: int, channels: int) -> int:
-    """Largest divisor of num_windows with wpb * n * c <= _TARGET_ELEMS."""
+def windows_per_program(
+    num_windows: int, n_tokens: int, channels: int, total_windows: int = 0
+) -> int:
+    """Largest divisor of num_windows with wpb * n * c <= the element target.
+
+    total_windows: batch * num_windows — very long grids (batch >= 32 at
+    Swin-L stage 0) get deeper DMA pipelining from Mosaic and blow the 16 MB
+    scoped-vmem budget at the full strip size, so halve the target there
+    (measured: b32 OOMs by ~1 MB at 8 windows/program, fits at 4)."""
+    target = _TARGET_ELEMS if total_windows < 1024 else _TARGET_ELEMS // 2
     best = 1
     for wpb in range(1, num_windows + 1):
-        if (
-            num_windows % wpb == 0
-            and wpb * n_tokens * channels <= _TARGET_ELEMS
-        ):
+        if num_windows % wpb == 0 and wpb * n_tokens * channels <= target:
             best = wpb
     return best
 
@@ -194,7 +199,7 @@ def swin_block_fused(
     Returns the full block output in the same window layout.
     """
     bw, n, c = x.shape
-    wpb = windows_per_program(num_windows, n, c)
+    wpb = windows_per_program(num_windows, n, c, bw)
     grid = (bw // wpb,)
     mask_blocks = num_windows // wpb
 
@@ -336,7 +341,7 @@ def swin_attn_half_fused(
 ) -> jnp.ndarray:
     """x + proj(window_attention(LN1(x))) on window-partitioned x (B*nW, N, C)."""
     bw, n, c = x.shape
-    wpb = windows_per_program(num_windows, n, c)
+    wpb = windows_per_program(num_windows, n, c, bw)
     mask_blocks = num_windows // wpb
 
     def const(shape):
