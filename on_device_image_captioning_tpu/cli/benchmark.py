@@ -53,6 +53,14 @@ def main(argv=None):
                              "(TensorBoard/XProf-loadable)")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--fp32", dest="bf16", action="store_false")
+    parser.add_argument("--attention_impl", choices=["xla", "pallas", "fused"],
+                        default="fused",
+                        help="Swin path: 'fused' = whole-block/half-block "
+                             "Pallas kernels (fastest, inference); 'xla' = "
+                             "reference-faithful op order")
+    parser.add_argument("--dyn_step_impl", choices=["xla", "pallas"],
+                        default="pallas",
+                        help="incremental decode step implementation")
     args = parser.parse_args(argv)
 
     from ..config import DecodeConfig, end_expansionnet_v2_coco, remove_layers
@@ -64,10 +72,18 @@ def main(argv=None):
     from ..utils.image import normalize_on_device
     from .demo import load_params
 
+    import dataclasses
+
+    from ..decode.cache import set_dyn_step_impl
+
     cfg = end_expansionnet_v2_coco(
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
     )
+    cfg = dataclasses.replace(
+        cfg, swin=dataclasses.replace(cfg.swin, attention_impl=args.attention_impl)
+    )
     cfg = remove_layers(cfg, args.param_config)
+    set_dyn_step_impl(args.dyn_step_impl)
     if args.load_path:
         params = load_params(args.load_path, cfg)
     else:

@@ -251,6 +251,13 @@ def main(argv=None):
     parser.add_argument("--eval_loss", action="store_true")
     parser.add_argument("--n_model", type=int, default=1,
                         help="tensor-parallel mesh axis size (see cli/train.py)")
+    parser.add_argument("--attention_impl", choices=["xla", "pallas", "fused"],
+                        default="xla",
+                        help="'fused' runs the Pallas whole-block Swin kernels "
+                             "(~2x faster inference); 'xla' keeps the "
+                             "reference-exact op order for caption parity")
+    parser.add_argument("--dyn_step_impl", choices=["xla", "pallas"],
+                        default="xla", help="incremental decode step impl")
     args = parser.parse_args(argv)
 
     from ..config import CaptionerConfig, end_expansionnet_v2_coco, remove_layers
@@ -292,6 +299,7 @@ def main(argv=None):
             embed_dim=args.swin_embed_dim, depths=tuple(args.swin_depths),
             num_heads=tuple(args.swin_num_heads),
             window_size=args.swin_window_size,
+            attention_impl=args.attention_impl,
         )
         cfg = ModelConfig(
             swin=swin,
@@ -319,8 +327,10 @@ def main(argv=None):
         else:
             params = quantize_tree(params, args.quantize)
 
+    from ..decode.cache import set_dyn_step_impl
     from ..parallel import mesh as pm
 
+    set_dyn_step_impl(args.dyn_step_impl)
     mesh = pm.make_default_mesh(args.batch_size, n_model=args.n_model)
     if mesh.size > 1:
         print(f"SPMD mesh {dict(mesh.shape)} over {mesh.size} devices", flush=True)

@@ -96,11 +96,25 @@ def param_specs(params):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _put(x, sharding: NamedSharding):
+    """Place one (process-replicated) array on a possibly multi-process mesh.
+
+    Single process: plain device_put. Multi process: every process holds the
+    identical full array (params/opt-state are built from the same seed or the
+    same checkpoint on every host), so assemble the global array from the
+    process-local copy."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), x.shape
+        )
+    return jax.device_put(x, sharding)
+
+
 def shard_params(params, mesh: Mesh):
     """Place a parameter pytree on the mesh according to param_specs."""
     specs = param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: _put(x, NamedSharding(mesh, s)),
         params,
         specs,
     )
@@ -152,10 +166,10 @@ def shard_train_state(state, mesh: Mesh):
     def put(node):
         if params_like(node):
             return jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                lambda x, s: _put(x, NamedSharding(mesh, s)),
                 node,
                 p_specs,
             )
-        return jax.device_put(node, NamedSharding(mesh, P()))
+        return _put(node, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, state, is_leaf=params_like)

@@ -1,0 +1,66 @@
+"""Worker for the 2-process multi-host integration test (not a pytest module).
+
+Each process: jax.distributed.initialize over localhost, 2 virtual CPU devices
+per process (global mesh of 4), rank-sharded loader batch, SPMD XE train step
+with cross-process gradient psum. Prints the step loss for the parent test to
+compare across processes and against the single-process ground truth.
+
+Usage: python tests/_multihost_worker.py <process_id> <coordinator_port>
+"""
+import os
+import pathlib
+import sys
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from on_device_image_captioning_tpu.config import CaptionerConfig  # noqa: E402
+from on_device_image_captioning_tpu.models import captioner as cap  # noqa: E402
+from on_device_image_captioning_tpu.parallel import mesh as pm  # noqa: E402
+from on_device_image_captioning_tpu.train import train_step  # noqa: E402
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, len(jax.devices())
+
+cfg = CaptionerConfig(
+    d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4, num_exp_enc_list=(4,),
+    num_exp_dec=4, vocab_size=32, max_seq_len=12, img_feature_dim=8,
+)
+params = cap.captioner_init(jax.random.PRNGKey(0), cfg)  # same seed every host
+opt = optax.adam(1e-3)
+state = train_step.init_train_state(params, opt)
+
+mesh = pm.make_default_mesh(4)
+assert mesh.shape["data"] == 4, dict(mesh.shape)
+state = pm.shard_train_state(state, mesh)
+
+# rank shard of the deterministic global batch: rows [2*pid, 2*pid+1] of 4
+rng = np.random.default_rng(0)
+feats = rng.standard_normal((4, 5, cfg.img_feature_dim), dtype=np.float32)
+caps_arr = rng.integers(1, cfg.vocab_size, (4, 6)).astype(np.int32)
+local = slice(2 * pid, 2 * pid + 2)
+batch = pm.shard_batch(
+    {"enc_input": feats[local], "captions": caps_arr[local]}, mesh
+)
+
+step = jax.jit(train_step.make_xe_step(cfg, opt, end_to_end_model=False))
+state, metrics = step(state, batch, jax.random.PRNGKey(7))
+print(f"WORKER {pid} loss {float(metrics['loss']):.6f}", flush=True)
+jax.distributed.shutdown()
