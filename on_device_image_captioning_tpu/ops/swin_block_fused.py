@@ -40,6 +40,10 @@ _WEIGHT_BYTES_CAP = 8 * 1024 * 1024
 # cap for each HALF-block kernel (attention-only / MLP-only) used on stages
 # whose full weight set doesn't fit (Swin-L stage 2, dim 768)
 _HALF_WEIGHT_BYTES_CAP = 10 * 1024 * 1024
+# NOTE on the attention inner loop: a batched-dot_general-over-heads variant
+# (reshape (n, c) -> (n, h, dk) + transpose) does not lower — Mosaic rejects
+# lane-splitting reshapes ("unsupported shape cast") — so the per-head
+# lane-slice loop below is the layout that works.
 
 
 def windows_per_program(

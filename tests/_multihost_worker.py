@@ -20,12 +20,16 @@ os.environ.pop("JAX_PLATFORMS", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
-)
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
