@@ -367,8 +367,10 @@ def main(argv=None):
                 state.params, arrays["enc_input"], sub,
                 enc_num_pads=arrays.get("enc_num_pads"),
             )
+            # rewards are computed rank-locally: this process's rows of the
+            # sampled tokens align with its loader shard (batch["img_idxs"])
             rewards = reward_fn(
-                np.asarray(sampled.tokens), np.asarray(sampled.lengths),
+                pm.local_rows(sampled.tokens), pm.local_rows(sampled.lengths),
                 batch["img_idxs"], vocab,
             )
             state, metrics = scst_step(
@@ -401,6 +403,10 @@ def main(argv=None):
         if (time.time() - last_save) / 60 >= args.save_every_minutes or (
             it + 1
         ) == total_iters:
+            # host_copy is a COLLECTIVE under multi-process (allgather of
+            # sharded leaves) — every rank must participate, then rank 0 writes
+            params_h = pm.host_copy(state.params)
+            opt_h = pm.host_copy(state.opt_state)
             if jax.process_index() == 0:
                 # with prefetch, the loader cursor runs ahead of consumption;
                 # the prefetcher snapshots the cursor per consumed batch so a
@@ -412,7 +418,7 @@ def main(argv=None):
                     else loader.save_state()
                 )
                 ckpt.save_checkpoint(
-                    args.save_path, state.params, state.opt_state, int(state.step),
+                    args.save_path, params_h, opt_h, int(state.step),
                     data_loader_state=dls,
                     additional_info="rf" if args.reinforce else "xe",
                     num_max_checkpoints=args.how_many_checkpoints,
@@ -426,11 +432,16 @@ def main(argv=None):
         if (it + 1) % args.eval_every_iter == 0:
             from .evaluate import evaluate_split
 
+            # the eval batch need not divide like the train batch does, so it
+            # gets its own mesh (params reshard once per eval pass)
+            eval_mesh = pm.make_default_mesh(
+                args.eval_parallel_batch_size, n_model=args.n_model
+            )
             for beam in args.eval_beam_sizes:
                 scores, _ = evaluate_split(
                     state.params, cfg, dataset, "val", beam,
                     args.eval_parallel_batch_size, max_seq_len,
-                    args.features_path, mesh=mesh,
+                    args.features_path, mesh=eval_mesh,
                 )
                 print(f"[eval beam {beam}] {scores}", flush=True)
 

@@ -258,12 +258,24 @@ def beam_loop(
     )
 
 
+def _to_host(a):
+    """device->host that also works for multi-process sharded results: gather
+    the global array so every process sees all rows (jax.device_get alone
+    raises on arrays spanning non-addressable devices)."""
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return jax.device_get(a)
+
+
 def captions_from_result(res: BeamResult) -> Tuple[list, list]:
     """Host-side: truncate fixed buffers to per-caption length, mirroring the
     reference's list-of-lists return (reference models/captioning_model.py:403-427)."""
-    tokens = jax.device_get(res.tokens)
-    logprobs = jax.device_get(res.logprobs)
-    lengths = jax.device_get(res.lengths)
+    tokens = _to_host(res.tokens)
+    logprobs = _to_host(res.logprobs)
+    lengths = _to_host(res.lengths)
     b, n, _ = tokens.shape
     caps = [
         [tokens[i, j, : lengths[i, j]].tolist() for j in range(n)] for i in range(b)

@@ -311,15 +311,3 @@ def dec_step(
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return log_probs, DecState(layers=new_layers, enc_mask=state.enc_mask)
 
-
-def gather_beams(state: DecState, indices: jnp.ndarray) -> DecState:
-    """Reorder the batch dimension of every cache after a beam reshuffle.
-
-    indices: (B,) int32 — for each output row, which input row to take (flattened
-    (batch, beam) layout).
-    """
-    take = lambda a: jnp.take(a, indices, axis=0)
-    return DecState(
-        layers=[LayerCache(*map(take, lc)) for lc in state.layers],
-        enc_mask=None if state.enc_mask is None else take(state.enc_mask),
-    )

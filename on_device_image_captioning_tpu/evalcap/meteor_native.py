@@ -262,22 +262,25 @@ class _Stats:
         self.wm_hyp = sum(w * _word_weight(hyp[i]) for i, _, w in m)
         self.wm_ref = sum(w * _word_weight(ref[j]) for _, j, w in m)
         self.matches = len(m)
-        ch = _count_chunks(m)
-        if ch == 1 and self.matches == len(hyp) == len(ref):
-            # full contiguous cover: no fragmentation, identical strings score 1
-            ch = 0
-        self.chunks = ch
+        # NOTE: no special-casing of full contiguous covers — METEOR applies
+        # the fragmentation penalty even to verbatim matches (chunks=1), a
+        # well-known property of the metric; identical segments score slightly
+        # below 1.
+        self.chunks = _count_chunks(m)
 
-    def score(self) -> float:
+    def score(self, alpha=None, beta=None, gamma=None) -> float:
+        alpha = ALPHA if alpha is None else alpha
+        beta = BETA if beta is None else beta
+        gamma = GAMMA if gamma is None else gamma
         if self.w_hyp == 0 or self.w_ref == 0 or self.matches == 0:
             return 0.0
         p = self.wm_hyp / self.w_hyp
         r = self.wm_ref / self.w_ref
         if p == 0.0 or r == 0.0:
             return 0.0
-        fmean = p * r / (ALPHA * p + (1.0 - ALPHA) * r)
+        fmean = p * r / (alpha * p + (1.0 - alpha) * r)
         frag = self.chunks / self.matches
-        return (1.0 - GAMMA * frag**BETA) * fmean
+        return (1.0 - gamma * frag**beta) * fmean
 
 
 def _segment_stats(hyp: str, refs: Sequence[str]) -> _Stats:
@@ -290,9 +293,15 @@ def _segment_stats(hyp: str, refs: Sequence[str]) -> _Stats:
     return best
 
 
-def meteor_score(hyp: str, refs: Sequence[str]) -> float:
-    """Segment-level METEOR of one hypothesis against its references."""
-    return _segment_stats(hyp, refs).score()
+def meteor_score(
+    hyp: str, refs: Sequence[str], alpha=None, beta=None, gamma=None
+) -> float:
+    """Segment-level METEOR of one hypothesis against its references.
+
+    alpha/beta/gamma default to the METEOR 1.5 English-task values; pass e.g.
+    (0.9, 3, 0.5) for the METEOR 1.0 parameterization (what nltk implements —
+    the mechanics-validation tests compare against it)."""
+    return _segment_stats(hyp, refs).score(alpha, beta, gamma)
 
 
 class NativeMeteorScorer:

@@ -13,7 +13,11 @@ TPU-first design decisions (not a torch translation):
 - relative-position-bias gather and shifted-window attention masks are precomputed
   as static constants at trace time (the reference builds them as buffers in
   __init__, models/swin_transformer_mod.py:198-213, :364-395);
-- attention runs per (window, head) as batched MXU matmuls over 144-token windows.
+- attention runs per (window, head) as batched MXU matmuls over 144-token
+  windows; at inference, attention_impl='fused' replaces whole blocks with the
+  Pallas kernels in ops/swin_block_fused.py (one VMEM pass per window strip for
+  stages 0/1, attention-half + MLP-half for stage 2) — the serving default in
+  bench.py and opt-in via --attention_impl on the CLIs.
 """
 from __future__ import annotations
 

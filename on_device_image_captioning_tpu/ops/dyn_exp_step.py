@@ -21,9 +21,9 @@ Numerics match decode/cache._dyn_exp_step to fp32 reduction-order differences
 interpreter mode in tests/test_pallas_ops.py). On hardware the different
 accumulation order can flip beam choices on near-ties vs the reference-exact
 XLA path; the token-parity fuzz in tests/test_decode.py covers this impl too.
-Measured on TPU v5e (full-size head, beam 3, 20 steps, pipelined): batch 8
-10.53 ms vs XLA 10.98 ms (pre-cond-cache figures; bench.py reruns each round).
-Enabled via decode.cache.set_dyn_step_impl('pallas') (the bench default).
+With the cond-cache rank decomposition and the fused beam reshuffle this impl
+carried e2e from 218 -> 239 img/s at b8 (bench.py, which enables it by
+default via decode.cache.set_dyn_step_impl('pallas')).
 """
 from __future__ import annotations
 

@@ -132,29 +132,13 @@ def _bias_of(node: dict, d_out: int):
     return node.get("b", jnp.zeros((d_out,)))
 
 
-def _block_kernel(
-    x_ref,
-    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    bias_ref,
-    mask_ref,
-    out_ref,
-    attn_scr,
-    *,
-    heads: int,
-    n: int,
-    wpb: int,
-    scale: float,
-    eps: float,
+def _attention_rows(
+    qkv, attn_scr, bias_ref, mask_ref, *, heads, n, wpb, c, scale
 ):
-    c = x_ref.shape[-1]
+    """Per-window multi-head attention over flat (wpb*n, 3c) qkv rows, writing
+    (wpb*n, c) into attn_scr — shared by the whole-block and attention-half
+    kernels."""
     dk = c // heads
-    rows = wpb * n
-    x = x_ref[:].reshape(rows, c)
-
-    # ---- attention sublayer -------------------------------------------------
-    xn = _ln(x, g1_ref, b1_ref, eps)
-    qkv = _linear(xn, wqkv_ref, bqkv_ref)  # (rows, 3c)
     for w in range(wpb):
         row0 = w * n
         for h in range(heads):
@@ -175,6 +159,34 @@ def _block_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(attn_scr.dtype)
+
+
+def _block_kernel(
+    x_ref,
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    bias_ref,
+    mask_ref,
+    out_ref,
+    attn_scr,
+    *,
+    heads: int,
+    n: int,
+    wpb: int,
+    scale: float,
+    eps: float,
+):
+    c = x_ref.shape[-1]
+    rows = wpb * n
+    x = x_ref[:].reshape(rows, c)
+
+    # ---- attention sublayer -------------------------------------------------
+    xn = _ln(x, g1_ref, b1_ref, eps)
+    qkv = _linear(xn, wqkv_ref, bqkv_ref)  # (rows, 3c)
+    _attention_rows(
+        qkv, attn_scr, bias_ref, mask_ref,
+        heads=heads, n=n, wpb=wpb, c=c, scale=scale,
+    )
     x = x + _linear(attn_scr[:], wproj_ref, bproj_ref)
 
     # ---- MLP sublayer -------------------------------------------------------
@@ -290,31 +302,14 @@ def _attn_half_kernel(
     *, heads, n, wpb, scale, eps,
 ):
     c = x_ref.shape[-1]
-    dk = c // heads
     rows = wpb * n
     x = x_ref[:].reshape(rows, c)
     xn = _ln(x, g1_ref, b1_ref, eps)
     qkv = _linear(xn, wqkv_ref, bqkv_ref)
-    for w in range(wpb):
-        row0 = w * n
-        for h in range(heads):
-            col = h * dk
-            q = qkv[row0 : row0 + n, col : col + dk] * scale
-            k = qkv[row0 : row0 + n, c + col : c + col + dk]
-            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk]
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s + bias_ref[h]
-            if mask_ref is not None:
-                s = s + mask_ref[w]
-            p = jax.nn.softmax(s, axis=-1)
-            attn_scr[row0 : row0 + n, col : col + dk] = jax.lax.dot_general(
-                p.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(attn_scr.dtype)
+    _attention_rows(
+        qkv, attn_scr, bias_ref, mask_ref,
+        heads=heads, n=n, wpb=wpb, c=c, scale=scale,
+    )
     out_ref[:] = (x + _linear(attn_scr[:], wproj_ref, bproj_ref)).reshape(
         wpb, n, c
     )

@@ -144,6 +144,37 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-dim-sharded global array (single
+    process: the whole array). Used to bring per-row device results (e.g.
+    SCST samples) to the host for rank-local work without touching other
+    processes' shards."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    by_start = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        by_start.setdefault(start, np.asarray(s.data))
+    return np.concatenate(
+        [by_start[k] for k in sorted(by_start)], axis=0
+    )
+
+
+def host_copy(tree):
+    """np copies of a (possibly multi-process sharded) pytree — safe input for
+    checkpoint saving. Single process: returned unchanged (the checkpoint
+    writer np-converts lazily); multi process: allgather so every process
+    holds the full value."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda a: np.asarray(multihost_utils.process_allgather(a, tiled=True)),
+        tree,
+    )
+
+
 def shard_train_state(state, mesh: Mesh):
     """Place a full train state (params + optimizer state + counters) on the mesh.
 

@@ -67,4 +67,15 @@ batch = pm.shard_batch(
 step = jax.jit(train_step.make_xe_step(cfg, opt, end_to_end_model=False))
 state, metrics = step(state, batch, jax.random.PRNGKey(7))
 print(f"WORKER {pid} loss {float(metrics['loss']):.6f}", flush=True)
+
+# rank-local row extraction from a global batch-sharded array (the SCST
+# reward path): must return exactly this rank's loader shard, in order
+loc = pm.local_rows(batch["captions"])
+assert np.array_equal(loc, caps_arr[local]), (loc, caps_arr[local])
+
+# checkpoint-safe host copy of the (multi-process sharded) train state:
+# collective allgather, identical full values on every rank
+params_h = pm.host_copy(state.params)
+checksum = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree.leaves(params_h)))
+print(f"WORKER {pid} hostcopy {checksum:.4f}", flush=True)
 jax.distributed.shutdown()

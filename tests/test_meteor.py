@@ -64,8 +64,11 @@ def test_porter_stemmer_fuzz_vs_nltk():
     assert not mismatches, mismatches[:10]
 
 
-def test_identical_sentences_score_one():
-    assert meteor_score("a cat sits on a mat", ["a cat sits on a mat"]) == 1.0
+def test_identical_sentences_score():
+    """METEOR penalizes even verbatim matches (chunks=1): P=R=Fmean=1, score =
+    1 - gamma * (1/m)^beta — a well-known property of the metric."""
+    got = meteor_score("a cat sits on a mat", ["a cat sits on a mat"])
+    np.testing.assert_allclose(got, 1.0 - 0.6 * (1 / 6) ** 0.2, rtol=1e-12)
 
 
 def test_disjoint_sentences_score_zero():
@@ -86,15 +89,49 @@ def test_hand_computed_segment_score():
 
 def test_stem_stage_matches():
     """'the cats running' vs 'the cat runs': all three positions match (one
-    exact, two stem at weight 0.6) in one full-cover chunk -> no penalty,
-    P = R = (0.25 + 0.45 + 0.45) / 1.75."""
+    exact, two stem at weight 0.6) in one chunk; P = R = Fmean =
+    (0.25 + 0.45 + 0.45) / 1.75, penalized by gamma * (1/3)^beta."""
     got = meteor_score("the cats running", ["the cat runs"])
-    np.testing.assert_allclose(got, 1.15 / 1.75, rtol=1e-9)
+    expect = (1.0 - 0.6 * (1 / 3) ** 0.2) * (1.15 / 1.75)
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
 
 
 def test_best_reference_wins():
     refs = ["dog eats food quickly", "a cat sits on a mat"]
-    assert meteor_score("a cat sits on a mat", refs) == 1.0
+    identical = meteor_score("a cat sits on a mat", refs[1:])
+    assert meteor_score("a cat sits on a mat", refs) == identical
+
+
+def test_mechanics_match_nltk_meteor10():
+    """Algorithm-shape validation against an independent published
+    implementation: with the METEOR 1.0 parameters (alpha .9, beta 3,
+    gamma .5 — what nltk implements) and vocabulary where only exact matches
+    exist (nonsense tokens: no stems, no WordNet synsets, no function words,
+    unique words so the alignment is forced), our scorer must agree with
+    nltk.translate.meteor_score exactly, fragmentation penalty included."""
+    pytest.importorskip("nltk")
+    from nltk.translate.meteor_score import single_meteor_score
+
+    cases = [
+        ("aaa bbb ccc ddd eee", "aaa bbb ccc ddd eee"),
+        ("aaa ccc bbb eee ddd", "aaa bbb ccc ddd eee"),
+        ("eee ddd ccc bbb aaa", "aaa bbb ccc ddd eee"),
+        ("aaa bbb xxx yyy", "aaa bbb ccc ddd"),
+        ("bbb aaa", "aaa bbb ccc"),
+        ("aaa zzz bbb", "aaa bbb"),
+    ]
+    class _NoWordnet:  # no corpus download in this env; nonsense words anyway
+        @staticmethod
+        def synsets(word):
+            return []
+
+    for hyp, ref in cases:
+        got = meteor_score(hyp, [ref], alpha=0.9, beta=3.0, gamma=0.5)
+        want = single_meteor_score(
+            ref.split(), hyp.split(), alpha=0.9, beta=3.0, gamma=0.5,
+            wordnet=_NoWordnet,
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9, err_msg=(hyp, ref))
 
 
 def test_corpus_aggregation_and_per_segment():
@@ -105,7 +142,8 @@ def test_corpus_aggregation_and_per_segment():
     res = {0: ["a cat sits on a mat"], 1: ["birds fly south"]}
     final, per_seg = NativeMeteorScorer().compute(gts, res)
     assert per_seg.shape == (2,)
-    assert per_seg[0] == 1.0 and per_seg[1] == 0.0
+    np.testing.assert_allclose(per_seg[0], 1.0 - 0.6 * (1 / 6) ** 0.2)
+    assert per_seg[1] == 0.0
     # micro-average over aggregated stats, not the mean of segment scores
     assert 0.0 < final < 1.0
 

@@ -49,13 +49,19 @@ def test_two_process_distributed_xe_step(tmp_path):
         assert p.returncode == 0, out[-3000:]
 
     losses = {}
+    checksums = {}
     for out in outs:
         m = re.search(r"WORKER (\d) loss ([\d.]+)", out)
         assert m, out[-3000:]
         losses[int(m.group(1))] = float(m.group(2))
+        m = re.search(r"WORKER (\d) hostcopy ([\d.]+)", out)
+        assert m, out[-3000:]
+        checksums[int(m.group(1))] = float(m.group(2))
     assert set(losses) == {0, 1}
-    # both processes computed the same global step
+    # both processes computed the same global step and the same host copy of
+    # the post-step params (the checkpoint-save path)
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    np.testing.assert_allclose(checksums[0], checksums[1], rtol=1e-6)
 
     # ground truth: the same global batch on this process's 4 local devices
     import jax
