@@ -66,9 +66,18 @@ class CocoEvalCap:
             scorer.close()
             self._set("METEOR", score, img_ids, per_img)
         if spice:
-            from .spice import SpiceScorer
+            import os
 
-            scorer = SpiceScorer()
+            if os.environ.get("SPICE_JAR"):
+                # the jar (when available) is authoritative: CoreNLP parsing
+                # + WordNet-synset tuple matching
+                from .spice import SpiceScorer
+
+                scorer = SpiceScorer()
+            else:
+                from .spice_native import NativeSpiceScorer
+
+                scorer = NativeSpiceScorer()
             score, per_img = scorer.compute(gts, res)
             self._set("SPICE", score, img_ids, per_img)
         if verbose:
