@@ -87,6 +87,18 @@ def parse_args(argv=None):
                    help="jax.checkpoint the Swin blocks (the reference's "
                         "swin_use_checkpoint flag)")
     p.add_argument("--metrics_jsonl", type=str, default=None)
+    p.add_argument("--swin_attention_impl", choices=["xla", "pallas", "fused"],
+                   default="xla",
+                   help="Swin kernels for the INFERENCE forwards inside "
+                        "training (SCST sampling, eval hooks): 'fused' runs "
+                        "the whole-block Pallas kernels (ops/swin_block_fused)."
+                        " Gradient forwards always use the XLA path (fp "
+                        "reduction order differs slightly between impls, so "
+                        "SCST's sampling and scoring policies drift by bf16 "
+                        "rounding when this is not 'xla')")
+    p.add_argument("--dyn_step_impl", choices=["xla", "pallas"], default="xla",
+                   help="incremental decode-step kernel for SCST sampling and "
+                        "eval-hook beam search (ops/dyn_exp_step.py)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host SPMD: call jax.distributed.initialize() "
                         "(coordinator from JAX_COORDINATOR_ADDRESS etc.); the "
@@ -129,7 +141,14 @@ def build_model_cfg(args, vocab, max_seq_len):
         cfg = end_expansionnet_v2_coco(
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
         )
-        cfg = dataclasses.replace(cfg, captioner=cap)
+        cfg = dataclasses.replace(
+            cfg,
+            captioner=cap,
+            swin=dataclasses.replace(
+                cfg.swin,
+                attention_impl=getattr(args, "swin_attention_impl", "xla"),
+            ),
+        )
         return remove_layers(cfg, args.param_config)
     if args.param_config:  # features-in variant of the layer-removal ablations
         cap = dataclasses.replace(
@@ -146,6 +165,10 @@ def main(argv=None):
         jax.distributed.initialize()
     random.seed(args.seed)
     np.random.seed(args.seed)
+    if args.dyn_step_impl != "xla":
+        from ..decode.cache import set_dyn_step_impl
+
+        set_dyn_step_impl(args.dyn_step_impl)
 
     from ..data.datasets import load_coco_karpathy, load_vizwiz
     from ..data.features_io import FeatureStore

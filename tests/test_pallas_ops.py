@@ -281,3 +281,60 @@ def test_dyn_exp_step_kernel_matches_xla():
         dc.set_dyn_step_impl("xla")
     for t, (a, b) in enumerate(zip(got, base)):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=f"pos {t}")
+
+
+def test_dyn_exp_pallas_matches_xla_under_reorders():
+    """The fused decode-step kernel must equal the XLA path through a
+    multi-step decode with RANDOM beam reshuffles each step — the reorder is
+    fused into the kernel's scalar-prefetched cache index maps (including
+    duplicated source rows, the beam-duplication case), so its composition
+    across steps is load-bearing."""
+    from on_device_image_captioning_tpu.config import CaptionerConfig
+    from on_device_image_captioning_tpu.decode import cache as dc
+    from on_device_image_captioning_tpu.models import captioner as cap
+
+    cfg = CaptionerConfig(
+        d_model=32, N_enc=1, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4,),
+        num_exp_dec=4, vocab_size=40, max_seq_len=12, img_feature_dim=16,
+    )
+    params = cap.captioner_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    b, steps = 4, 7
+    feats = rng.standard_normal((b, 5, cfg.img_feature_dim), dtype=np.float32)
+    tokens = rng.integers(0, cfg.vocab_size, size=(b, steps)).astype(np.int32)
+    # step 0 has no reorder (beam expansion happens after the SOS step);
+    # later steps reshuffle arbitrarily, with repetition (beam duplication)
+    reorders = [None] + [
+        rng.integers(0, b, size=(b,)).astype(np.int32) for _ in range(steps - 1)
+    ]
+    cross = cap.forward_enc(params, cfg, feats)
+
+    def run():
+        step = jax.jit(
+            lambda st, tok, pos, ro: dc.dec_step(
+                params, cfg, st, tok, pos, reorder=ro
+            )
+        )
+        state = dc.init_state(params, cfg, cross, max_len=steps)
+        outs = []
+        for t in range(steps):
+            ro = reorders[t]
+            if ro is None:
+                lp, state = dc.dec_step(
+                    params, cfg, state, jnp.asarray(tokens[:, t]), jnp.int32(t)
+                )
+            else:
+                lp, state = step(
+                    state, jnp.asarray(tokens[:, t]), jnp.int32(t), jnp.asarray(ro)
+                )
+            outs.append(np.asarray(lp))
+        return outs
+
+    base = run()
+    dc.set_dyn_step_impl("pallas")
+    try:
+        got = run()
+    finally:
+        dc.set_dyn_step_impl("xla")
+    for t, (a, bse) in enumerate(zip(got, base)):
+        np.testing.assert_allclose(a, bse, rtol=2e-5, atol=2e-5, err_msg=f"pos {t}")
