@@ -89,13 +89,13 @@ def parse_args(argv=None):
     p.add_argument("--metrics_jsonl", type=str, default=None)
     p.add_argument("--swin_attention_impl", choices=["xla", "pallas", "fused"],
                    default="xla",
-                   help="Swin kernels for the INFERENCE forwards inside "
-                        "training (SCST sampling, eval hooks): 'fused' runs "
-                        "the whole-block Pallas kernels (ops/swin_block_fused)."
-                        " Gradient forwards always use the XLA path (fp "
-                        "reduction order differs slightly between impls, so "
-                        "SCST's sampling and scoring policies drift by bf16 "
-                        "rounding when this is not 'xla')")
+                   help="Swin kernel implementation: 'fused' runs the "
+                        "whole-block Pallas kernels (ops/swin_block_fused) — "
+                        "for SCST sampling and eval hooks, AND for gradient "
+                        "forwards on the eligible stages via the training "
+                        "custom VJP (requires swin drop/attn_drop = 0, the "
+                        "reference recipe; ineligible stages fall back). fp "
+                        "reduction order differs slightly between impls")
     p.add_argument("--dyn_step_impl", choices=["xla", "pallas"], default="xla",
                    help="incremental decode-step kernel for SCST sampling and "
                         "eval-hook beam search (ops/dyn_exp_step.py)")

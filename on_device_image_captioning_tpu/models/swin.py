@@ -286,6 +286,29 @@ def swin_block(
                 p, cfg, x, stage, window, shift, dtype, mode="halves"
             )
 
+    if (
+        cfg.attention_impl == "fused"
+        and train
+        and cfg.drop_rate == 0.0
+        and cfg.attn_drop_rate == 0.0
+        and "w" in p["attn"]["qkv"]
+    ):
+        from ..ops import swin_block_fused as sbf
+
+        if sbf.eligible(c, cfg.mlp_ratio, x.dtype):
+            # consume the rng stream in the XLA path's exact order (attn-drop,
+            # proj-drop, drop-path 1, mlp-drop x2, drop-path 2) so switching
+            # impls mid-recipe keeps downstream rngs aligned; the zero-rate
+            # dropout keys are unused
+            rngs.next(), rngs.next()
+            k_dp1 = rngs.next()
+            rngs.next(), rngs.next()
+            k_dp2 = rngs.next()
+            return _swin_block_fused_train_path(
+                p, cfg, x, stage, window, shift, dtype,
+                drop_path_rate, k_dp1, k_dp2,
+            )
+
     shortcut = x
     x = layernorm(p["norm1"], x, cfg.ln_eps).reshape(b, res, res, c)
     if shift > 0:
@@ -374,6 +397,72 @@ def _swin_block_fused_path(
     if mode != "full":
         out = swin_mlp_half_fused(out, p, cfg.ln_eps)
     return out
+
+
+def _swin_block_fused_train_path(
+    p, cfg: SwinConfig, x, stage, window, shift, dtype, drop_path_rate,
+    k_dp1, k_dp2,
+):
+    """Training path through the fused block kernel + its custom VJP
+    (ops/swin_block_fused.swin_block_fused_train). Layout ops (roll, window
+    partition/reverse) and the rel-pos bias gather stay in XLA, so the bias
+    TABLE gradient flows through the gather's own VJP; the per-image
+    stochastic-depth scales are drawn here with the same keys the XLA path
+    would use."""
+    from ..ops.swin_block_fused import (
+        swin_block_fused_train,
+        windows_per_program,
+    )
+
+    b, l, c = x.shape
+    res = cfg.stage_resolution(stage)[0]
+    heads = cfg.num_heads[stage]
+    n = window * window
+    xs = x.reshape(b, res, res, c)
+    if shift > 0:
+        xs = jnp.roll(xs, shift=(-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(shift_attn_mask(res, window, shift))
+    else:
+        mask = None
+    xw = _window_partition(xs, window)
+    if dtype is not None:
+        xw = xw.astype(dtype)
+
+    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+    bias = jnp.take(p["attn"]["rel_bias"], idx, axis=0).reshape(n, n, heads)
+    bias = bias.transpose(2, 0, 1)
+    dk = c // heads
+    scale = cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5
+    num_windows = (res // window) ** 2
+
+    def dp_scale(key):
+        # per-image multiplier: where(bernoulli(keep), 1/keep, 0) — the same
+        # mask _drop_path draws from this key (models/swin_transformer_mod.py:25-40)
+        if key is None:
+            return jnp.ones((b,), jnp.float32)
+        keep = 1.0 - drop_path_rate
+        mask_b = jax.random.bernoulli(key, keep, (b,))
+        return jnp.where(mask_b, 1.0 / keep, 0.0).astype(jnp.float32)
+
+    wpb = windows_per_program(num_windows, n, c, xw.shape[0])
+    strips_per_img = num_windows // wpb
+    m1 = jnp.repeat(dp_scale(k_dp1), strips_per_img)[:, None]
+    m2 = jnp.repeat(dp_scale(k_dp2), strips_per_img)[:, None]
+
+    p_used = {
+        "norm1": p["norm1"],
+        "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]},
+        "norm2": p["norm2"],
+        "mlp": p["mlp"],
+    }
+    out = swin_block_fused_train(
+        xw, p_used, bias, mask, m1, m2, heads, num_windows, float(scale),
+        cfg.ln_eps,
+    )
+    out = _window_reverse(out, window, res, res)
+    if shift > 0:
+        out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
+    return out.reshape(b, l, c)
 
 
 def _drop_path(rng, rate, x: jnp.ndarray, train: bool) -> jnp.ndarray:

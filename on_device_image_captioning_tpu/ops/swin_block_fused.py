@@ -14,11 +14,15 @@ Reference semantics: models/swin_transformer_mod.py:397-449 (block) and
 fp32 LN stats, bf16 matmul operands with fp32 accumulation, fp32 softmax, and
 exact (erf) GeLU in fp32.
 
-Scope: inference (no dropout/drop-path — both are zero at eval) on stages whose
-full weight set fits VMEM alongside a window strip (Swin-L stages 0 and 1; the
-18-block stage 2 stays on the scanned XLA path, stage 3's 1536-dim weights
-don't fit). Selected via SwinConfig.attention_impl == "fused"; training and
-ineligible stages fall back to the XLA path automatically.
+Scope: stages whose full weight set fits VMEM alongside a window strip (Swin-L
+stages 0 and 1; the 18-block stage 2 runs attention-half + MLP-half kernels at
+inference and stays on the scanned XLA path for training, stage 3's 1536-dim
+weights don't fit). Selected via SwinConfig.attention_impl == "fused";
+ineligible stages fall back to the XLA path automatically. TRAINING on the
+eligible stages goes through swin_block_fused_train (bottom of this file): the
+same forward fused kernel extended with stochastic-depth scales, plus a
+custom VJP whose two backward kernels recompute the block internals
+flash-attention style.
 """
 from __future__ import annotations
 
@@ -436,9 +440,9 @@ def _mlp_half_kernel_a8(
     out_ref[:] = x + z.astype(x.dtype)
 
 
-def _mlp_rows_per_program(total_rows: int, hidden: int) -> int:
-    """Largest divisor of total_rows whose fp32+bf16 hidden fits ~4.5 MB."""
-    cap = max(1, (4_500_000 // (6 * hidden)) or 1)
+def _mlp_rows_per_program(total_rows: int, hidden: int, budget: int = 4_500_000) -> int:
+    """Largest divisor of total_rows whose fp32+bf16 hidden fits the budget."""
+    cap = max(1, (budget // (6 * hidden)) or 1)
     best = 1
     for r in range(1, min(total_rows, cap) + 1):
         if total_rows % r == 0:
@@ -497,3 +501,590 @@ def swin_mlp_half_fused(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
         interpret=jax.default_backend() != "tpu",
     )(xf, *weights)
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Training: fused forward + custom-VJP backward for the whole-block stages.
+#
+# The XLA training path materializes the same ~8 intermediate tensors per
+# block that motivated the inference kernel, plus their gradients. Here the
+# forward runs the same one-VMEM-pass kernel (extended with the per-image
+# stochastic-depth scales the reference applies at train time,
+# models/swin_transformer_mod.py:25-40, and emitting the mid-block residual
+# x2), and the backward recomputes block internals from (x, x2) in two fused
+# kernels — attention-half over window strips, MLP-half over flat rows — in
+# the flash-attention style: no attention matrix or MLP hidden state ever
+# round-trips HBM. Weight gradients accumulate across the grid into
+# constant-index fp32 output blocks (the grid is sequential on TPU).
+#
+# Eligibility mirrors inference (stages whose weights fit VMEM, Swin-L 0/1)
+# plus dense weights and zero attn/proj/MLP dropout — the reference's training
+# recipe (train.py:396-398: drop 0, attn_drop 0, drop_path 0.1) satisfies
+# this; ineligible configs fall back to the XLA path automatically.
+# ---------------------------------------------------------------------------
+
+
+def _gelu_grad(x):
+    """d/dx of exact GeLU in fp32: Phi(x) + x * phi(x)."""
+    phi = jnp.exp(-0.5 * x * x) * 0.3989422804014327  # 1/sqrt(2*pi)
+    return 0.5 * (1.0 + _erf(x * 0.7071067811865476)) + x * phi
+
+
+def _ln_stats(x, eps):
+    """fp32 LayerNorm stats of x over the last dim: (xhat, rstd)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    return (xf - mean) * rstd, rstd
+
+
+def _ln_bwd(dy_n, xhat, rstd, gamma):
+    """LayerNorm backward (normalize over last dim, fp32).
+
+    Returns (dx, dgamma (1, c), dbeta (1, c)); dy_n is the grad wrt the LN
+    output."""
+    dyf = dy_n.astype(jnp.float32)
+    g = gamma[:].astype(jnp.float32)
+    dgamma = jnp.sum(dyf * xhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dyf, axis=0, keepdims=True)
+    dxhat = dyf * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    return dx, dgamma, dbeta
+
+
+def _block_kernel_train(
+    x_ref,
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    bias_ref,
+    m1_ref,  # (1, 1) f32 SMEM: per-image drop-path scale, attention branch
+    m2_ref,  # (1, 1) f32 SMEM: per-image drop-path scale, MLP branch
+    mask_ref,
+    out_ref,
+    x2_ref,  # out (wpb, n, c): mid-block residual, saved for the backward
+    attn_scr,
+    *,
+    heads: int,
+    n: int,
+    wpb: int,
+    scale: float,
+    eps: float,
+):
+    c = x_ref.shape[-1]
+    rows = wpb * n
+    x = x_ref[:].reshape(rows, c)
+
+    xn = _ln(x, g1_ref, b1_ref, eps)
+    qkv = _linear(xn, wqkv_ref, bqkv_ref)
+    _attention_rows(
+        qkv, attn_scr, bias_ref, mask_ref,
+        heads=heads, n=n, wpb=wpb, c=c, scale=scale,
+    )
+    m1 = m1_ref[0, 0]
+    branch = _linear(attn_scr[:], wproj_ref, bproj_ref).astype(jnp.float32)
+    x2 = (x.astype(jnp.float32) + m1 * branch).astype(x.dtype)
+    x2_ref[:] = x2.reshape(wpb, n, c)
+
+    h2 = _ln(x2, g2_ref, b2_ref, eps)
+    hidden = _linear(h2, wfc1_ref, bfc1_ref)
+    hidden = _gelu_exact(hidden.astype(jnp.float32)).astype(hidden.dtype)
+    m2 = m2_ref[0, 0]
+    mlp = _linear(hidden, wfc2_ref, bfc2_ref).astype(jnp.float32)
+    out_ref[:] = (x2.astype(jnp.float32) + m2 * mlp).astype(x.dtype).reshape(
+        wpb, n, c
+    )
+
+
+def _block_kernel_train_no_mask(
+    x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2,
+    bias_ref, m1_ref, m2_ref, out_ref, x2_ref, attn_scr, *, heads, n, wpb,
+    scale, eps,
+):
+    _block_kernel_train(
+        x_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2,
+        bfc2, bias_ref, m1_ref, m2_ref, None, out_ref, x2_ref, attn_scr,
+        heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )
+
+
+def _train_weights(p, dtype):
+    c_hidden = p["mlp"]["fc1"]["w"].shape[1]
+    c = p["attn"]["proj"]["w"].shape[1]
+    return [
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["w"].astype(dtype), _bias_of(p["attn"]["qkv"], 3 * c),
+        p["attn"]["proj"]["w"].astype(dtype), _bias_of(p["attn"]["proj"], c),
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["w"].astype(dtype), _bias_of(p["mlp"]["fc1"], c_hidden),
+        p["mlp"]["fc2"]["w"].astype(dtype), _bias_of(p["mlp"]["fc2"], c),
+    ]
+
+
+def _train_fwd_call(x, p, bias, mask, m1s, m2s, heads, num_windows, scale, eps):
+    """Forward pallas_call for training: returns (y, x2). m1s/m2s: (strips, 1)
+    f32 per-strip stochastic-depth scales."""
+    bw, n, c = x.shape
+    wpb = windows_per_program(num_windows, n, c, bw)
+    grid = (bw // wpb,)
+    mask_blocks = num_windows // wpb
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = _train_weights(p, x.dtype)
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        *[const(w.shape) for w in weights],
+        const((heads, n, n)),
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [x, *weights, bias.astype(jnp.float32), m1s, m2s]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _block_kernel_train, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+        )
+    else:
+        kernel = functools.partial(
+            _block_kernel_train_no_mask, heads=heads, n=n, wpb=wpb, scale=scale,
+            eps=eps,
+        )
+    y, x2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+            jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return y, x2
+
+
+# ---- MLP-half backward ------------------------------------------------------
+
+
+def _mlp_bwd_kernel(
+    x2_ref,  # (rpp, c)
+    dy_ref,  # (rpp, c)
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    m2_ref,  # (1, 1) f32 SMEM
+    dx2_ref,  # out (rpp, c)
+    dw1_ref,  # out (c, hidden) f32, accumulated
+    db1_ref,  # out (1, hidden) f32
+    dw2_ref,  # out (hidden, c) f32
+    db2_ref,  # out (1, c) f32
+    dg2_ref,  # out (1, c) f32
+    dbe2_ref,  # out (1, c) f32
+    *,
+    eps: float,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _zero():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg2_ref[:] = jnp.zeros_like(dg2_ref)
+        dbe2_ref[:] = jnp.zeros_like(dbe2_ref)
+
+    x2 = x2_ref[:]
+    cd = x2.dtype
+    # recompute the forward internals (dtype discipline mirrors the fwd kernel)
+    xhat, rstd = _ln_stats(x2, eps)
+    xn2 = (xhat * g2_ref[:] + b2_ref[:]).astype(cd)
+    h1 = jnp.dot(
+        xn2, wfc1_ref[:].astype(cd), preferred_element_type=jnp.float32
+    ) + bfc1_ref[:].astype(jnp.float32)
+    g = _gelu_exact(h1).astype(cd)
+
+    m2 = m2_ref[0, 0]
+    dmlp = (dy_ref[:].astype(jnp.float32) * m2).astype(cd)
+    dw2_ref[:] += jax.lax.dot_general(
+        g, dmlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[:] += jnp.sum(dmlp.astype(jnp.float32), axis=0, keepdims=True)
+    dg = jax.lax.dot_general(
+        dmlp, wfc2_ref[:].astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rpp, hidden)
+    dh1 = (dg * _gelu_grad(h1)).astype(cd)
+    dw1_ref[:] += jax.lax.dot_general(
+        xn2, dh1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[:] += jnp.sum(dh1.astype(jnp.float32), axis=0, keepdims=True)
+    dxn2 = jax.lax.dot_general(
+        dh1, wfc1_ref[:].astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rpp, c)
+    dx2_ln, dgamma, dbeta = _ln_bwd(dxn2, xhat, rstd, g2_ref)
+    dg2_ref[:] += dgamma
+    dbe2_ref[:] += dbeta
+    dx2_ref[:] = (dy_ref[:].astype(jnp.float32) + dx2_ln).astype(dx2_ref.dtype)
+
+
+def _mlp_bwd_call(x2, dy, p, m2_rows, eps, rpp):
+    rows, c = x2.shape
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["w"].astype(x2.dtype), _bias_of(p["mlp"]["fc1"], hidden),
+        p["mlp"]["fc2"]["w"].astype(x2.dtype), _bias_of(p["mlp"]["fc2"], c),
+    ]
+    acc = lambda shape: pl.BlockSpec(
+        shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps),
+        grid=(rows // rpp,),
+        in_specs=[
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            *[const(w.shape) for w in weights],
+            pl.BlockSpec((1, 1), lambda j: (j, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            acc((c, hidden)), acc((1, hidden)), acc((hidden, c)), acc((1, c)),
+            acc((1, c)), acc((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, c), x2.dtype),
+            jax.ShapeDtypeStruct((c, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x2, dy, *weights, m2_rows)
+    return outs
+
+
+# ---- attention-half backward -------------------------------------------------
+
+
+def _attn_bwd_kernel(
+    x_ref,  # (wpb, n, c)
+    dx2_ref,  # (wpb, n, c) grad wrt the mid-block residual
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    bias_ref,  # (H, n, n) f32
+    m1_ref,  # (1, 1) f32 SMEM
+    mask_ref,  # (wpb, n, n) f32 or None
+    dx_ref,  # out (wpb, n, c)
+    dwqkv_ref,  # out (c, 3c) f32 accumulated
+    dbqkv_ref,  # out (1, 3c) f32
+    dwproj_ref,  # out (c, c) f32
+    dbproj_ref,  # out (1, c) f32
+    dg1_ref,  # out (1, c) f32
+    dbe1_ref,  # out (1, c) f32
+    dbias_ref,  # out (H, n, n) f32
+    attn_scr,  # scratch (wpb*n, c) cd
+    dqkv_scr,  # scratch (wpb*n, 3c) f32
+    *,
+    heads: int,
+    n: int,
+    wpb: int,
+    scale: float,
+    eps: float,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+        dg1_ref[:] = jnp.zeros_like(dg1_ref)
+        dbe1_ref[:] = jnp.zeros_like(dbe1_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    c = x_ref.shape[-1]
+    dk = c // heads
+    rows = wpb * n
+    x = x_ref[:].reshape(rows, c)
+    cd = x.dtype
+
+    # recompute forward internals
+    xhat, rstd = _ln_stats(x, eps)
+    xn1 = (xhat * g1_ref[:] + b1_ref[:]).astype(cd)
+    qkv = _linear(xn1, wqkv_ref, bqkv_ref)  # (rows, 3c) cd
+    _attention_rows(
+        qkv, attn_scr, bias_ref, mask_ref,
+        heads=heads, n=n, wpb=wpb, c=c, scale=scale,
+    )
+
+    m1 = m1_ref[0, 0]
+    dx2 = dx2_ref[:].reshape(rows, c).astype(jnp.float32)
+    dproj = (dx2 * m1).astype(cd)
+    dbproj_ref[:] += jnp.sum(dproj.astype(jnp.float32), axis=0, keepdims=True)
+    dwproj_ref[:] += jax.lax.dot_general(
+        attn_scr[:], dproj, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dao = jax.lax.dot_general(
+        dproj, wproj_ref[:].astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, c) f32
+
+    # per-window, per-head attention backward (recompute S and P; f32 dots —
+    # same discipline as ops/dyn_exp_step.py, where bf16 operands with f32
+    # accumulation miscompile under Mosaic)
+    for w in range(wpb):
+        row0 = w * n
+        for h in range(heads):
+            col = h * dk
+            q = qkv[row0 : row0 + n, col : col + dk].astype(jnp.float32) * scale
+            k = qkv[row0 : row0 + n, c + col : c + col + dk].astype(jnp.float32)
+            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk].astype(
+                jnp.float32
+            )
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias_ref[h]
+            if mask_ref is not None:
+                s = s + mask_ref[w]
+            p = jax.nn.softmax(s, axis=-1)  # (n, n) f32
+            dao_h = dao[row0 : row0 + n, col : col + dk]  # f32
+            dp = jax.lax.dot_general(
+                dao_h, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dbias_ref[h] += ds
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk_ = jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv = jax.lax.dot_general(
+                p, dao_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_scr[row0 : row0 + n, col : col + dk] = dq
+            dqkv_scr[row0 : row0 + n, c + col : c + col + dk] = dk_
+            dqkv_scr[row0 : row0 + n, 2 * c + col : 2 * c + col + dk] = dv
+
+    dqkv = dqkv_scr[:]
+    dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dwqkv_ref[:] += jax.lax.dot_general(
+        xn1.astype(jnp.float32), dqkv,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxn1 = jax.lax.dot_general(
+        dqkv, wqkv_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, c)
+    dx_ln, dgamma, dbeta = _ln_bwd(dxn1, xhat, rstd, g1_ref)
+    dg1_ref[:] += dgamma
+    dbe1_ref[:] += dbeta
+    dx_ref[:] = (dx2 + dx_ln).astype(dx_ref.dtype).reshape(wpb, n, c)
+
+
+def _attn_bwd_no_mask(
+    x_ref, dx2_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref,
+    dx_ref, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias, attn_scr,
+    dqkv_scr, *, heads, n, wpb, scale, eps,
+):
+    _attn_bwd_kernel(
+        x_ref, dx2_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref,
+        None, dx_ref, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias,
+        attn_scr, dqkv_scr, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )
+
+
+def _attn_bwd_call(x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, wpb):
+    bw, n, c = x.shape
+    mask_blocks = num_windows // wpb
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["w"].astype(x.dtype), _bias_of(p["attn"]["qkv"], 3 * c),
+        p["attn"]["proj"]["w"].astype(x.dtype), _bias_of(p["attn"]["proj"], c),
+    ]
+    strip = lambda: pl.BlockSpec(
+        (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        strip(), strip(),
+        *[const(w.shape) for w in weights],
+        const((heads, n, n)),
+        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [x, dx2, *weights, bias.astype(jnp.float32), m1s]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _attn_bwd_kernel, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+        )
+    else:
+        kernel = functools.partial(
+            _attn_bwd_no_mask, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bw // wpb,),
+        in_specs=in_specs,
+        out_specs=[
+            strip(),
+            const((c, 3 * c)), const((1, 3 * c)), const((c, c)), const((1, c)),
+            const((1, c)), const((1, c)), const((heads, n, n)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wpb * n, c), x.dtype),
+            pltpu.VMEM((wpb * n, 3 * c), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    return outs
+
+
+# ---- custom-VJP glue ----------------------------------------------------------
+
+
+def _bwd_wpb(num_windows: int, n: int, c: int, total_windows: int) -> int:
+    """Strip size for the backward kernel: half the forward target (the bwd
+    holds fp32 dqkv scratch + fp32 weight-grad accumulators beside the
+    weights)."""
+    target = (_TARGET_ELEMS // 2) if total_windows < 1024 else (_TARGET_ELEMS // 4)
+    best = 1
+    for wpb in range(1, num_windows + 1):
+        if num_windows % wpb == 0 and wpb * n * c <= target:
+            best = wpb
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def swin_block_fused_train(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps):
+    """Differentiable fused Swin block for training (stages whose weights fit
+    VMEM). x: (B*nW, n, c) window-partitioned input; p: DENSE block params;
+    bias: (H, n, n) materialized relative-position bias (its table gradient
+    flows through the caller's gather); mask: (nW, n, n) shift mask or None;
+    m1/m2: (strips, 1) f32 per-strip stochastic-depth scales (0 or 1/keep —
+    reference models/swin_transformer_mod.py:25-40). Returns the block output;
+    the VJP recomputes internals in two fused kernels (attention-half over
+    window strips, MLP-half over flat rows) from the saved (x, x2)."""
+    y, _ = _train_fwd_call(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps)
+    return y
+
+
+def _train_fwd_rule(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps):
+    y, x2 = _train_fwd_call(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps)
+    return y, (x, x2, p, bias, mask, m1, m2)
+
+
+def _train_bwd_rule(heads, num_windows, scale, eps, res, dy):
+    x, x2, p, bias, mask, m1, m2 = res
+    bw, n, c = x.shape
+    rows = bw * n
+    strips = m2.shape[0]
+    # MLP half over flat rows; rpp must divide rows AND keep row blocks within
+    # one strip so the per-strip m2 scalar is constant over a block
+    strip_rows = rows // strips
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+    # half the inference budget: the bwd holds fp32 dg/h1 temps + fp32
+    # weight-grad accumulators beside the weights
+    rpp = _mlp_rows_per_program(strip_rows, hidden, budget=2_200_000)
+    m2_rows = jnp.repeat(m2, strip_rows // rpp, axis=0)
+    dx2_flat, dw1, db1, dw2, db2, dg2, dbe2 = _mlp_bwd_call(
+        x2.reshape(rows, c), dy.reshape(rows, c), p, m2_rows, eps, rpp
+    )
+    wpb = _bwd_wpb(num_windows, n, c, bw)
+    # m1 was built per FORWARD strip; re-tile it to the backward strip size
+    fwd_wpb = windows_per_program(num_windows, n, c, bw)
+    m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
+    m1_bwd = m1_per_window[::wpb]
+    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_call(
+        x, dx2_flat.reshape(bw, n, c), p, bias, mask, m1_bwd,
+        heads, num_windows, scale, eps, wpb,
+    )
+    def lin_grad(node, dw, db):
+        g = {"w": dw}
+        if "b" in node:
+            g["b"] = db[0]
+        return g
+
+    dp = {
+        "norm1": {"scale": dg1[0], "bias": dbe1[0]},
+        "attn": {
+            "qkv": lin_grad(p["attn"]["qkv"], dwqkv, dbqkv),
+            "proj": lin_grad(p["attn"]["proj"], dwproj, dbproj),
+        },
+        "norm2": {"scale": dg2[0], "bias": dbe2[0]},
+        "mlp": {
+            "fc1": lin_grad(p["mlp"]["fc1"], dw1, db1),
+            "fc2": lin_grad(p["mlp"]["fc2"], dw2, db2),
+        },
+    }
+    # cast param grads to the param dtypes (params are typically f32 masters);
+    # dp's structure mirrors p exactly, so a joint tree.map is valid
+    dp = jax.tree.map(lambda g, v: g.astype(v.dtype), dp, p)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (
+        dx, dp, dbias.astype(bias.dtype), dmask,
+        jnp.zeros_like(m1), jnp.zeros_like(m2),
+    )
+
+
+swin_block_fused_train.defvjp(_train_fwd_rule, _train_bwd_rule)

@@ -5,7 +5,10 @@ this measures the Swin-L/384 + expansion-head cross-entropy step — forward,
 backward, RAdam update — at a training batch, with and without Swin remat.
 Pipelined-enqueue timing discipline (scalar loss output, one sync).
 
-    python scripts/bench_train.py [batch] [iters] [remat(0|1)]
+    python scripts/bench_train.py [batch] [iters] [remat(0|1)] [impl]
+
+impl: xla (default) or fused — fused runs Swin stages 0/1 through the
+training-capable fused block kernels (ops/swin_block_fused.py custom VJP).
 """
 import os
 import sys
@@ -29,6 +32,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     remat = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
+    impl = sys.argv[4] if len(sys.argv) > 4 else "xla"
 
     from on_device_image_captioning_tpu.config import end_expansionnet_v2_coco
     from on_device_image_captioning_tpu.models import end_to_end
@@ -37,7 +41,16 @@ def main():
         init_train_state, make_xe_step,
     )
 
+    import dataclasses
+
     cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(
+        cfg,
+        swin=dataclasses.replace(
+            cfg.swin, attention_impl=impl if impl != "xla" else "xla",
+            drop_path_rate=0.1,
+        ),
+    )
     params = end_to_end.init(jax.random.PRNGKey(0), cfg)
     opt = radam(2e-5)
     state = init_train_state(params, opt)
@@ -63,7 +76,7 @@ def main():
     jax.device_get(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     print(
-        f"xe_step b{batch} remat={int(remat)}: {dt * 1000:.1f} ms/step "
+        f"xe_step b{batch} remat={int(remat)} impl={impl}: {dt * 1000:.1f} ms/step "
         f"-> {batch / dt:.2f} img/s (fwd+bwd+radam, Swin-L 384, bf16)"
     )
 

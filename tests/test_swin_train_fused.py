@@ -1,0 +1,106 @@
+"""Fused-training Swin block: value + gradient parity vs the XLA path.
+
+The custom VJP (ops/swin_block_fused.swin_block_fused_train) recomputes block
+internals in two fused backward kernels; these tests pin it against
+jax.grad through the reference-exact XLA path on eligible tiny configs —
+plain and shifted blocks, with and without stochastic depth (same rng keys on
+both paths, so the drawn drop-path masks coincide).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from on_device_image_captioning_tpu.config import SwinConfig
+from on_device_image_captioning_tpu.models import swin
+
+TINY = SwinConfig(
+    img_size=32, patch_size=4, embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+    window_size=4,
+)
+FUSED = dataclasses.replace(TINY, attention_impl="fused")
+
+
+def _block_inputs(stage=0, seed=0):
+    rng = np.random.default_rng(seed)
+    params = swin.swin_init(jax.random.PRNGKey(seed), TINY)
+    p = params["stages"][stage]["blocks"][0]
+    res = TINY.stage_resolution(stage)[0]
+    c = TINY.embed_dim * (2**stage)
+    x = jnp.asarray(
+        rng.standard_normal((2, res * res, c), dtype=np.float32)
+    )
+    return p, x
+
+
+@pytest.mark.parametrize("stage,block,rate", [
+    (0, 0, 0.0),   # plain window block, no stochastic depth
+    (0, 1, 0.0),   # shifted block (wrap-around mask)
+    (0, 0, 0.3),   # stochastic depth active (per-image masks)
+    (1, 1, 0.1),   # second stage, shifted + drop-path
+])
+def test_fused_train_block_matches_xla_grads(stage, block, rate):
+    p, x = _block_inputs(stage)
+    key = jax.random.PRNGKey(7)
+
+    def loss(cfg):
+        def f(p_, x_):
+            y = swin.swin_block(
+                p_, cfg, x_, stage, block, key, True, rate, None
+            )
+            return jnp.sum(y * y)
+
+        return f
+
+    val_x, (gp_x, gx_x) = jax.value_and_grad(loss(TINY), argnums=(0, 1))(p, x)
+    val_f, (gp_f, gx_f) = jax.value_and_grad(loss(FUSED), argnums=(0, 1))(p, x)
+
+    np.testing.assert_allclose(val_f, val_x, rtol=2e-5)
+    np.testing.assert_allclose(gx_f, gx_x, rtol=2e-4, atol=2e-5)
+    flat_x, _ = jax.tree.flatten(gp_x)
+    flat_f, tree_f = jax.tree.flatten(gp_f)
+    paths = jax.tree_util.tree_leaves_with_path(gp_x)
+    for (path, a), b in zip(paths, flat_f):
+        np.testing.assert_allclose(
+            b, a, rtol=2e-4, atol=2e-5, err_msg=str(path)
+        )
+
+
+def test_fused_train_full_backbone_step():
+    """End-to-end: grads of a tiny backbone agree between impls, including the
+    patch-embed params below and the final LN above the fused blocks."""
+    params = swin.swin_init(jax.random.PRNGKey(0), TINY)
+    imgs = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    )
+    key = jax.random.PRNGKey(3)
+
+    def loss(cfg):
+        def f(p):
+            y = swin.swin_apply(p, cfg, imgs, train=True, rng=key)
+            return jnp.mean(y * y)
+
+        return f
+
+    val_x, g_x = jax.value_and_grad(loss(TINY))(params)
+    val_f, g_f = jax.value_and_grad(loss(FUSED))(params)
+    np.testing.assert_allclose(val_f, val_x, rtol=2e-5)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_x), jax.tree.leaves(g_f)
+    ):
+        np.testing.assert_allclose(
+            b, a, rtol=3e-4, atol=3e-5, err_msg=str(path)
+        )
+
+
+def test_fused_train_quantized_falls_back():
+    """Quantized (non-dense) blocks must silently take the XLA path."""
+    from on_device_image_captioning_tpu.deploy.quantization import quantize_tree
+
+    p, x = _block_inputs(0)
+    pq = quantize_tree(p, "w8")
+    key = jax.random.PRNGKey(0)
+    y = swin.swin_block(pq, FUSED, x, 0, 0, key, True, 0.0, None)
+    assert y.shape == x.shape
