@@ -286,28 +286,19 @@ def swin_block(
                 p, cfg, x, stage, window, shift, dtype, mode="halves"
             )
 
-    if (
-        cfg.attention_impl == "fused"
-        and train
-        and cfg.drop_rate == 0.0
-        and cfg.attn_drop_rate == 0.0
-        and "w" in p["attn"]["qkv"]
-    ):
-        from ..ops import swin_block_fused as sbf
-
-        if sbf.eligible(c, cfg.mlp_ratio, x.dtype):
-            # consume the rng stream in the XLA path's exact order (attn-drop,
-            # proj-drop, drop-path 1, mlp-drop x2, drop-path 2) so switching
-            # impls mid-recipe keeps downstream rngs aligned; the zero-rate
-            # dropout keys are unused
-            rngs.next(), rngs.next()
-            k_dp1 = rngs.next()
-            rngs.next(), rngs.next()
-            k_dp2 = rngs.next()
-            return _swin_block_fused_train_path(
-                p, cfg, x, stage, window, shift, dtype,
-                drop_path_rate, k_dp1, k_dp2,
-            )
+    if _fused_train_active(cfg, p, c, train, x.dtype):
+        # consume the rng stream in the XLA path's exact order (attn-drop,
+        # proj-drop, drop-path 1, mlp-drop x2, drop-path 2) so switching
+        # impls mid-recipe keeps downstream rngs aligned; the zero-rate
+        # dropout keys are unused
+        rngs.next(), rngs.next()
+        k_dp1 = rngs.next()
+        rngs.next(), rngs.next()
+        k_dp2 = rngs.next()
+        return _swin_block_fused_train_path(
+            p, cfg, x, stage, window, shift, dtype,
+            drop_path_rate, k_dp1, k_dp2,
+        )
 
     shortcut = x
     x = layernorm(p["norm1"], x, cfg.ln_eps).reshape(b, res, res, c)
@@ -397,6 +388,23 @@ def _swin_block_fused_path(
     if mode != "full":
         out = swin_mlp_half_fused(out, p, cfg.ln_eps)
     return out
+
+
+def _fused_train_active(cfg: SwinConfig, p, c: int, train: bool, dtype) -> bool:
+    """Whether swin_block will take the fused training (custom-VJP) path:
+    requires dense weights, zero attn/MLP dropout (the reference recipe,
+    train.py:396-398), and a VMEM-eligible stage width."""
+    if not (
+        cfg.attention_impl == "fused"
+        and train
+        and cfg.drop_rate == 0.0
+        and cfg.attn_drop_rate == 0.0
+        and "w" in p["attn"]["qkv"]
+    ):
+        return False
+    from ..ops import swin_block_fused as sbf
+
+    return sbf.eligible(c, cfg.mlp_ratio, dtype)
 
 
 def _swin_block_fused_train_path(
@@ -569,7 +577,14 @@ def _run_stage(
     if depth < 4:
         for j in range(depth):
             fn = swin_block
-            if remat:
+            # fused-train blocks carry their own recompute-in-backward custom
+            # VJP (saving only x and the mid-block residual) — wrapping them
+            # in jax.checkpoint would discard those residuals and replay the
+            # whole forward for no memory benefit
+            if remat and not _fused_train_active(
+                cfg, stage["blocks"][j], x.shape[-1], train,
+                x.dtype if dtype is None else dtype,
+            ):
                 # hashable statics: cfg, stage/block idx, train flag, dtype
                 fn = jax.checkpoint(swin_block, static_argnums=(1, 3, 4, 6, 8))
             x = fn(

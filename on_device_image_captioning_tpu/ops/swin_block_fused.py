@@ -560,8 +560,8 @@ def _block_kernel_train(
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
     bias_ref,
-    m1_ref,  # (1, 1) f32 SMEM: per-image drop-path scale, attention branch
-    m2_ref,  # (1, 1) f32 SMEM: per-image drop-path scale, MLP branch
+    m1_ref,  # (strips, 1) f32 SMEM (whole array): drop-path scale, attn branch
+    m2_ref,  # (strips, 1) f32 SMEM (whole array): drop-path scale, MLP branch
     mask_ref,
     out_ref,
     x2_ref,  # out (wpb, n, c): mid-block residual, saved for the backward
@@ -583,7 +583,7 @@ def _block_kernel_train(
         qkv, attn_scr, bias_ref, mask_ref,
         heads=heads, n=n, wpb=wpb, c=c, scale=scale,
     )
-    m1 = m1_ref[0, 0]
+    m1 = m1_ref[pl.program_id(0), 0]
     branch = _linear(attn_scr[:], wproj_ref, bproj_ref).astype(jnp.float32)
     x2 = (x.astype(jnp.float32) + m1 * branch).astype(x.dtype)
     x2_ref[:] = x2.reshape(wpb, n, c)
@@ -591,7 +591,7 @@ def _block_kernel_train(
     h2 = _ln(x2, g2_ref, b2_ref, eps)
     hidden = _linear(h2, wfc1_ref, bfc1_ref)
     hidden = _gelu_exact(hidden.astype(jnp.float32)).astype(hidden.dtype)
-    m2 = m2_ref[0, 0]
+    m2 = m2_ref[pl.program_id(0), 0]
     mlp = _linear(hidden, wfc2_ref, bfc2_ref).astype(jnp.float32)
     out_ref[:] = (x2.astype(jnp.float32) + m2 * mlp).astype(x.dtype).reshape(
         wpb, n, c
@@ -641,8 +641,8 @@ def _train_fwd_call(x, p, bias, mask, m1s, m2s, heads, num_windows, scale, eps):
         pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         *[const(w.shape) for w in weights],
         const((heads, n, n)),
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     args = [x, *weights, bias.astype(jnp.float32), m1s, m2s]
     if mask is not None:
@@ -686,7 +686,7 @@ def _mlp_bwd_kernel(
     x2_ref,  # (rpp, c)
     dy_ref,  # (rpp, c)
     g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    m2_ref,  # (1, 1) f32 SMEM
+    m2_ref,  # (blocks, 1) f32 SMEM (whole array)
     dx2_ref,  # out (rpp, c)
     dw1_ref,  # out (c, hidden) f32, accumulated
     db1_ref,  # out (1, hidden) f32
@@ -718,7 +718,7 @@ def _mlp_bwd_kernel(
     ) + bfc1_ref[:].astype(jnp.float32)
     g = _gelu_exact(h1).astype(cd)
 
-    m2 = m2_ref[0, 0]
+    m2 = m2_ref[j, 0]
     dmlp = (dy_ref[:].astype(jnp.float32) * m2).astype(cd)
     dw2_ref[:] += jax.lax.dot_general(
         g, dmlp, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -771,7 +771,7 @@ def _mlp_bwd_call(x2, dy, p, m2_rows, eps, rpp):
             pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
             *[const(w.shape) for w in weights],
-            pl.BlockSpec((1, 1), lambda j: (j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
@@ -800,7 +800,7 @@ def _attn_bwd_kernel(
     dx2_ref,  # (wpb, n, c) grad wrt the mid-block residual
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     bias_ref,  # (H, n, n) f32
-    m1_ref,  # (1, 1) f32 SMEM
+    m1_ref,  # (strips, 1) f32 SMEM (whole array)
     mask_ref,  # (wpb, n, n) f32 or None
     dx_ref,  # out (wpb, n, c)
     dwqkv_ref,  # out (c, 3c) f32 accumulated
@@ -846,7 +846,7 @@ def _attn_bwd_kernel(
         heads=heads, n=n, wpb=wpb, c=c, scale=scale,
     )
 
-    m1 = m1_ref[0, 0]
+    m1 = m1_ref[i, 0]
     dx2 = dx2_ref[:].reshape(rows, c).astype(jnp.float32)
     dproj = (dx2 * m1).astype(cd)
     dbproj_ref[:] += jnp.sum(dproj.astype(jnp.float32), axis=0, keepdims=True)
@@ -954,7 +954,7 @@ def _attn_bwd_call(x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, w
         strip(), strip(),
         *[const(w.shape) for w in weights],
         const((heads, n, n)),
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     args = [x, dx2, *weights, bias.astype(jnp.float32), m1s]
     if mask is not None:

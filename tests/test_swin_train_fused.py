@@ -104,3 +104,27 @@ def test_fused_train_quantized_falls_back():
     key = jax.random.PRNGKey(0)
     y = swin.swin_block(pq, FUSED, x, 0, 0, key, True, 0.0, None)
     assert y.shape == x.shape
+
+
+def test_fused_train_remat_gating_preserves_grads():
+    """--remat skips jax.checkpoint for fused-train blocks (their custom VJP
+    already recomputes in the backward); gradients must match the un-remat
+    fused run exactly."""
+    params = swin.swin_init(jax.random.PRNGKey(0), TINY)
+    imgs = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    )
+    key = jax.random.PRNGKey(5)
+
+    def loss(remat):
+        def f(p):
+            y = swin.swin_apply(p, FUSED, imgs, train=True, rng=key, remat=remat)
+            return jnp.mean(y * y)
+
+        return f
+
+    val_a, g_a = jax.value_and_grad(loss(False))(params)
+    val_b, g_b = jax.value_and_grad(loss(True))(params)
+    np.testing.assert_allclose(val_b, val_a, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
