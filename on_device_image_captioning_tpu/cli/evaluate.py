@@ -33,7 +33,7 @@ def build_dataset(args):
 def evaluate_split(
     params, cfg, dataset, split: str, beam_size: int, batch_size: int,
     max_seq_len: int, features_path: str | None = None, verbose: bool = True,
-    mesh=None,
+    mesh=None, metrics=("bleu", "rouge", "cider"),
 ):
     """Decode every image of a split and score. Returns (scores, predictions).
 
@@ -156,7 +156,9 @@ def evaluate_split(
 
     references = {r["img_id"]: r["captions"] for r in records if r["captions"]}
     preds_for_eval = {i: predictions[i] for i in references}
-    scores = evaluate_captions(preds_for_eval, references, verbose=verbose)
+    scores = evaluate_captions(
+        preds_for_eval, references, metrics=metrics, verbose=verbose
+    )
     return scores, predictions
 
 
@@ -221,6 +223,13 @@ def main(argv=None):
                         help="one checkpoint, or several for ensemble decoding")
     parser.add_argument("--split", default="test", choices=["val", "test"])
     parser.add_argument("--beam_sizes", type=int, nargs="+", default=[3])
+    parser.add_argument("--metrics", type=str, nargs="+",
+                        default=["bleu", "meteor", "rouge", "cider", "spice"],
+                        choices=["bleu", "meteor", "rouge", "cider", "spice"],
+                        help="scorers to run (the reference's COCOEvalCap runs "
+                             "all five by default, eval/eval.py:33-67; METEOR "
+                             "and SPICE use the native scorers unless "
+                             "METEOR_JAR/SPICE_JAR are set)")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--max_seq_len", type=int, default=74)
     parser.add_argument("--param_config", type=int, default=0, choices=[0, 1, 2])
@@ -339,6 +348,7 @@ def main(argv=None):
         scores, _ = evaluate_split(
             params, cfg, dataset, args.split, beam, args.batch_size,
             args.max_seq_len, args.features_path, mesh=mesh,
+            metrics=tuple(args.metrics),
         )
         for k, v in scores.items():
             print(f"{k}: {v:.4f}", flush=True)
