@@ -65,6 +65,54 @@ class DecState(NamedTuple):
     enc_mask: Optional[jnp.ndarray] = None
 
 
+class MutCaches(NamedTuple):
+    """The per-step-mutable subset of a LayerCache (everything but the
+    loop-invariant cross-attention K/V). Decode loops carry ONLY this part;
+    the invariants (k_cross/v_cross/enc_mask) stay out of the while carry and
+    are shared across each image's beam/sample group via dec_step's `group`
+    argument — one K/V row per image instead of one per beam (3x less decode
+    HBM traffic on them), and a real M=group dimension in the cross-attention
+    score matmul instead of the batched matvec XLA lowers via per-step
+    f32 relayouts of the full K/V (measured ~2.8 ms/decode at b32/beam3)."""
+
+    keys: jnp.ndarray
+    ca: jnp.ndarray
+    cb: jnp.ndarray
+    cond: jnp.ndarray
+    vals_a: jnp.ndarray
+    vals_b: jnp.ndarray
+
+
+class StaticState(NamedTuple):
+    """Loop-invariant decode inputs: per-layer cross-attention (K, V) pairs
+    and the optional encoder pad mask."""
+
+    cross: tuple  # tuple of (k_cross, v_cross) per layer
+    enc_mask: Optional[jnp.ndarray] = None
+
+
+def split_state(state: DecState):
+    """DecState -> (list of MutCaches, StaticState)."""
+    muts = [
+        MutCaches(lc.keys, lc.ca, lc.cb, lc.cond, lc.vals_a, lc.vals_b)
+        for lc in state.layers
+    ]
+    static = StaticState(
+        cross=tuple((lc.k_cross, lc.v_cross) for lc in state.layers),
+        enc_mask=state.enc_mask,
+    )
+    return muts, static
+
+
+def merge_state(muts, static: StaticState) -> DecState:
+    """Inverse of split_state."""
+    layers = [
+        LayerCache(m.keys, m.ca, m.cb, m.cond, m.vals_a, m.vals_b, kc, vc)
+        for m, (kc, vc) in zip(muts, static.cross)
+    ]
+    return DecState(layers=layers, enc_mask=static.enc_mask)
+
+
 # Dynamic-expansion step implementation: 'xla' (default) or 'pallas'
 # (ops/dyn_exp_step.py — one fused kernel per layer per token with in-place
 # cache updates). Process-wide toggle, mirroring models.common.set_layernorm_impl.
@@ -126,12 +174,16 @@ def _dyn_exp_step(
     pos: jnp.ndarray,
     dtype=None,
     reorder: Optional[jnp.ndarray] = None,
+    dst: Optional[MutCaches] = None,
+    in_place: bool = False,
 ):
     """One-position Dynamic Expansion (exact; see module docstring).
 
     x2: (B, d) normalized input at position `pos`. Returns ((B, d), updated cache).
     reorder: (B,) beam-source rows, fused into the Pallas kernel's cache reads
     (the XLA path receives pre-gathered caches from dec_step instead).
+    dst: dead donated buffers the Pallas kernel writes the new caches into
+    (see dyn_exp_step_pallas and the beam_loop ping-pong).
     """
     b, d = x2.shape
     e = cfg.num_exp_dec
@@ -155,6 +207,7 @@ def _dyn_exp_step(
             p["query_exp"]["embed"],
             cache.keys, cache.ca, cache.cb, cache.cond, cache.vals_a,
             cache.vals_b, eps=cfg.eps, reorder=reorder,
+            dst=None if dst is None else tuple(dst), in_place=in_place,
         )
         return out, cache._replace(
             keys=keys, ca=ca, cb=cb, cond=cond_c, vals_a=vals_a,
@@ -223,26 +276,34 @@ def _cross_attention_step(
     x2: jnp.ndarray,
     enc_mask: Optional[jnp.ndarray] = None,
     dtype=None,
+    group: int = 1,
 ) -> jnp.ndarray:
     """Single-query cross-attention against the cached encoder K/V
-    (reference models/layers.py:266-295). enc_mask (B, S) masks padded feature
+    (reference models/layers.py:266-295). enc_mask masks padded feature
     rows with the same -1e4 fill as the full forward's MHA, so incremental and
-    teacher-forced decoding agree on padded stores."""
-    b, d = x2.shape
+    teacher-forced decoding agree on padded stores.
+
+    group: consecutive x2 rows that share one K/V row (the beams/samples of
+    one image). x2 has (B_kv * group) rows while the cached K/V and enc_mask
+    have B_kv rows; group becomes the M dimension of the score matmul. With
+    group=1 this is exactly the ungrouped form."""
+    rows, d = x2.shape
     h, dk = cfg.num_heads, cfg.head_dim
+    b = rows // group
     s = cache.k_cross.shape[1]
     k = cache.k_cross.reshape(b, s, h, dk)
     v = cache.v_cross.reshape(b, s, h, dk)
-    q = linear(p["Wq"], x2, dtype).reshape(b, h, dk).astype(k.dtype)
-    scores = jnp.einsum("bhd,bshd->bhs", q, k, preferred_element_type=jnp.float32) / (
-        dk**0.5
-    )
+    q = linear(p["Wq"], x2, dtype).reshape(b, group, h, dk).astype(k.dtype)
+    scores = jnp.einsum(
+        "bghd,bshd->bghs", q, k, preferred_element_type=jnp.float32
+    ) / (dk**0.5)
     if enc_mask is not None:
-        scores = jnp.where(enc_mask[:, None, :], scores, cfg.attn_fill)
+        scores = jnp.where(enc_mask[:, None, None, :], scores, cfg.attn_fill)
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
-        "bhs,bshd->bhd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).reshape(b, d)
+        "bghs,bshd->bghd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).reshape(rows, d)
     return linear(p["out_linear"], out, dtype)
 
 
@@ -254,11 +315,14 @@ def dec_step(
     pos: jnp.ndarray,
     dtype=None,
     reorder: Optional[jnp.ndarray] = None,
+    group: int = 1,
+    prev: Optional[List[MutCaches]] = None,
+    in_place: bool = False,
 ):
     """Decode one position for the whole batch.
 
-    tokens: (B,) int32 input tokens at position `pos` (scalar int32). Returns
-    (log_probs (B, vocab), new state). Matches
+    tokens: (B,) int32 input tokens at position `pos` (scalar int32).
+    Returns (log_probs (B, vocab), new state). Matches
     forward_dec(..., apply_log_softmax=True)[:, pos] exactly.
 
     reorder: optional (B,) int32 — output row i continues input row
@@ -266,7 +330,18 @@ def dec_step(
     step gather cache rows through its index maps instead of a separate
     full-cache gather pass per step; the XLA path applies the identical
     jnp.take. k_cross/v_cross/enc_mask are beam-invariant within an image's
-    group and skip the reorder (see beam_search._gather_rows expansion).
+    group and skip the reorder entirely.
+
+    group: beams/samples per image. The mutable caches and tokens have
+    (B_img * group) rows; k_cross/v_cross/enc_mask have B_img rows shared
+    across each group (see _cross_attention_step).
+
+    prev: per-layer dead MutCaches buffers donated to the Pallas impl's
+    in-place cache writes (ignored by the XLA path); the caller must keep
+    buffer roles fixed across loop iterations (see beam_loop's ping-pong).
+
+    in_place: donate the cache inputs themselves (valid only without
+    reorder — sampling-style loops; ignored by the XLA path).
     """
     b = tokens.shape[0]
     if reorder is not None and _DYN_STEP_IMPL != "pallas":
@@ -294,10 +369,16 @@ def dec_step(
         lp = params["decoders"][i]
         cache = state.layers[i]
         x2 = layernorm(lp["norm_1"], y, cfg.ln_eps)
-        dyn, cache = _dyn_exp_step(lp["dyn_exp"], cfg, cache, x2, pos, dtype, reorder)
+        dyn, cache = _dyn_exp_step(
+            lp["dyn_exp"], cfg, cache, x2, pos, dtype, reorder,
+            dst=None if prev is None else prev[i],
+            in_place=in_place,
+        )
         y = y + dyn
         x2 = layernorm(lp["norm_2"], y, cfg.ln_eps)
-        y = y + _cross_attention_step(lp["mha"], cfg, cache, x2, state.enc_mask, dtype)
+        y = y + _cross_attention_step(
+            lp["mha"], cfg, cache, x2, state.enc_mask, dtype, group
+        )
         x2 = layernorm(lp["norm_3"], y, cfg.ln_eps)
         h = jax.nn.relu(linear(lp["ff"]["linear_1"], x2, dtype))
         y = y + linear(lp["ff"]["linear_2"], h, dtype)

@@ -43,13 +43,17 @@ def sample(
     n = b * num_outputs
     L = max_seq_len
 
-    # expand encoder rows per sample (reference :129-134)
-    rep = jnp.repeat(jnp.arange(b, dtype=jnp.int32), num_outputs)
-    enc_rep = jnp.take(enc_output, rep, axis=0)
+    # the per-sample expansion of the encoder side stays VIRTUAL: K/V and the
+    # enc mask keep one row per image, shared across each image's num_outputs
+    # sample rows via dec_step's `group` (reference :129-134 materializes the
+    # repeat; here only the mutable caches have n rows)
     state = dc.init_state(
-        params, cfg, enc_rep, L + 1, dtype if dtype is not None else jnp.float32,
-        enc_num_pads=None if enc_num_pads is None else jnp.take(enc_num_pads, rep, axis=0),
+        params, cfg, enc_output, L + 1,
+        dtype if dtype is not None else jnp.float32, enc_num_pads=enc_num_pads,
     )
+    muts, static = dc.split_state(state)
+    rep = jnp.repeat(jnp.arange(b, dtype=jnp.int32), num_outputs)
+    muts = jax.tree.map(lambda a: jnp.take(a, rep, axis=0), muts)
 
     class Carry(NamedTuple):
         t: jnp.ndarray  # next position to sample (0-based step counter)
@@ -57,7 +61,7 @@ def sample(
         logprobs: jnp.ndarray  # (N, L+1)
         where_eos: jnp.ndarray  # (N,) first-EOS step (init L, reference :136-139)
         finished: jnp.ndarray  # (N,)
-        state: dc.DecState
+        muts: object
         rng: jax.Array
 
     tokens = jnp.zeros((n, L + 1), jnp.int32).at[:, 0].set(sos_idx)
@@ -68,7 +72,14 @@ def sample(
     def body(c: Carry):
         t = c.t
         last = jax.lax.dynamic_index_in_dim(c.tokens, t, axis=1, keepdims=False)
-        logp, state = dc.dec_step(params, cfg, c.state, last, t, dtype)
+        # no beam reshuffle here, so the Pallas step donates the cache inputs
+        # themselves and updates them in place — the carry keeps one buffer
+        # set and XLA inserts no per-step cache copies
+        logp, new_state = dc.dec_step(
+            params, cfg, dc.merge_state(c.muts, static), last, t, dtype,
+            group=num_outputs, in_place=True,
+        )
+        muts = dc.split_state(new_state)[0]
         rng, sub = jax.random.split(c.rng)
         word = jax.random.categorical(sub, logp, axis=-1).astype(jnp.int32)
         word_lp = jnp.take_along_axis(logp, word[:, None], axis=-1)[:, 0]
@@ -81,7 +92,7 @@ def sample(
             c.where_eos, jnp.where(is_eos, t + 1, L)
         )  # reference :183-188
         finished = c.finished | is_eos
-        return Carry(t + 1, tokens, logprobs, where_eos, finished, state, rng)
+        return Carry(t + 1, tokens, logprobs, where_eos, finished, muts, rng)
 
     init = Carry(
         jnp.int32(0),
@@ -89,7 +100,7 @@ def sample(
         jnp.zeros((n, L + 1), jnp.float32),
         jnp.full((n,), L, jnp.int32),
         jnp.zeros((n,), jnp.bool_),
-        state,
+        muts,
         rng,
     )
     out = jax.lax.while_loop(cond, body, init)

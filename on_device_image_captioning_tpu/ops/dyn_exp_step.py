@@ -175,6 +175,23 @@ def _kernel(
     out_ref[0] = (sel * out_a + (1.0 - sel) * out_b).astype(out_ref.dtype)
 
 
+def _kernel_dst(
+    pos_ref, src_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref,
+    cond_in_ref, sel_ref, embed_ref, _keys_in, _ca_in, _cb_in, _cond_in,
+    _vals_a_in, _vals_b_in, _d0, _d1, _d2, _d3, _d4, _d5,
+    keys_ref, ca_ref, cb_ref, cond_ref, vals_a_ref, vals_b_ref, out_ref,
+    *, eps, L, E, d,
+):
+    """Variant with 6 donated destination buffers (aliased to the cache
+    outputs; never read — the out_refs ARE those buffers)."""
+    _kernel(
+        pos_ref, src_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref,
+        cond_in_ref, sel_ref, embed_ref, _keys_in, _ca_in, _cb_in, _cond_in,
+        _vals_a_in, _vals_b_in, keys_ref, ca_ref, cb_ref, cond_ref,
+        vals_a_ref, vals_b_ref, out_ref, eps=eps, L=L, E=E, d=d,
+    )
+
+
 def dyn_exp_step_pallas(
     pos,  # scalar int32
     q_i,  # (B, E, d) query_exp + cond at pos
@@ -193,16 +210,40 @@ def dyn_exp_step_pallas(
     vals_b,  # (B, L, E, d)
     eps: float = 1e-9,
     reorder=None,  # (B,) int32 beam-source rows, or None for identity
+    dst=None,  # optional 6-tuple of donated dead buffers (keys..vals_b)
+    in_place=False,  # alias the cache INPUTS to the outputs (reorder None only)
 ):
     """Returns (out (B, d) fp32, keys, ca, cb, cond, vals_a, vals_b updated).
 
     reorder fuses the beam reshuffle into the kernel: output row i continues
     cache row reorder[i] — the cache INPUT index maps read through the
     scalar-prefetched source indices, so the separate per-step gather pass
-    over every cache disappears. (This disables input/output aliasing: rows
-    may be read by several outputs.)"""
+    over every cache disappears. (This forbids aliasing the cache INPUTS to
+    the outputs: rows may be read by several programs.)
+
+    dst: a DEAD buffer set (same shapes/dtypes as the caches) donated via
+    input_output_aliases so the kernel writes the new caches into it in
+    place. Without it, calling this inside a while body makes XLA copy every
+    cache around the custom-call (~6.9 ms/decode at b32/beam3: the carry
+    pins each tuple position to a fixed allocation, so the un-aliased fresh
+    outputs must be copied back into the carry buffers). The caller must
+    keep buffer roles FIXED across iterations — a 2-step-unrolled loop body
+    that ping-pongs two cache sets A/B per iteration (decode/beam_search.py)
+    — because swapping the sets' tuple positions per iteration instead makes
+    XLA copy BOTH sets (measured 27.6 -> 47.8 ms).
+
+    in_place: when there is NO reorder (each program reads exactly its own
+    row), the cache inputs themselves can be donated — the kernel updates
+    the caches in place with no second buffer set and no loop unrolling
+    (decode/sampling.py). Row i's input block is DMA'd to VMEM before its
+    output block is written back, so the read-before-write order holds
+    per program."""
     b, L, E, d = vals_a.shape
     cd = keys.dtype
+    if in_place:
+        assert reorder is None and dst is None, (
+            "in_place needs identity cache reads (no reorder) and no dst"
+        )
     if reorder is None:
         reorder = jnp.arange(b, dtype=jnp.int32)
 
@@ -251,19 +292,7 @@ def dyn_exp_step_pallas(
         jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
     ]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-    )
-    kernel = functools.partial(_kernel, eps=eps, L=L, E=E, d=d)
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=jax.default_backend() != "tpu",
-    )(
+    args = [
         jnp.asarray(pos, jnp.int32).reshape(1),
         jnp.asarray(reorder, jnp.int32).reshape(b),
         q_i.astype(cd), bias_i.astype(cd),
@@ -272,6 +301,45 @@ def dyn_exp_step_pallas(
         sel.astype(jnp.float32).reshape(b, 1, d),
         embed.astype(cd),
         keys, ca, cb, cond, vals_a, vals_b,
+    ]
+    aliases = {}
+    if in_place:
+        # cache inputs 10..15 donated straight to outputs 0..5
+        aliases = {10 + j: j for j in range(6)}
+        kernel = functools.partial(_kernel, eps=eps, L=L, E=E, d=d)
+    elif dst is not None:
+        # donated buffers ride as inputs 16..21, aliased to outputs 0..5
+        # (alias indices count the scalar-prefetch operands); the kernel
+        # never reads these refs — out_refs ARE their buffers. CONSTANT
+        # index maps so the pipeline fetches one (dead) block once and
+        # revisits it, instead of streaming the whole dead buffer in
+        const3 = lambda i, _p, _s: (0, 0, 0)
+        const4 = lambda i, _p, _s: (0, 0, 0, 0)
+        in_specs = in_specs + [
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, E, d), const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, E, d), const4, memory_space=pltpu.VMEM),
+        ]
+        args = args + list(dst)
+        aliases = {16 + j: j for j in range(6)}
+        kernel = functools.partial(_kernel_dst, eps=eps, L=L, E=E, d=d)
+    else:
+        kernel = functools.partial(_kernel, eps=eps, L=L, E=E, d=d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
     new_keys, new_ca, new_cb, new_cond, new_va, new_vb, out = outs
     return out.reshape(b, d), new_keys, new_ca, new_cb, new_cond, new_va, new_vb

@@ -116,7 +116,10 @@ def main():
 
     xplanes = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
     assert xplanes, f"no xplane under {tmp}"
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    try:
+        from xprof.convert import raw_to_tool_data as rttd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
 
     data, _ = rttd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
     if isinstance(data, bytes):
