@@ -75,7 +75,17 @@ def ptb_tokenize_sentence(text: str) -> List[str]:
 def tokenize_captions(captions_for_image: Dict) -> Dict[object, List[str]]:
     """{img_id: [{'caption': str}, ...]} -> {img_id: [tokenized strings]} with the
     punctuation list dropped, mirroring the reference wrapper's output shape
-    (reference eval/tokenizer/ptbtokenizer.py:103-113)."""
+    (reference eval/tokenizer/ptbtokenizer.py:103-113).
+
+    When CORENLP_JAR points at a Stanford CoreNLP jar (scripts/
+    get_scorer_jars.sh), tokenization runs through the original Java
+    PTBTokenizer instead — the jar stays authoritative for cross-checks, the
+    native rules above are the offline default."""
+    import os
+
+    jar = os.environ.get("CORENLP_JAR")
+    if jar:
+        return _tokenize_captions_jar(captions_for_image, jar)
     out: Dict[object, List[str]] = {}
     for img_id, caps in captions_for_image.items():
         out[img_id] = [
@@ -84,4 +94,39 @@ def tokenize_captions(captions_for_image: Dict) -> Dict[object, List[str]]:
             )
             for c in caps
         ]
+    return out
+
+
+def _tokenize_captions_jar(captions_for_image: Dict, jar: str):
+    """Subprocess protocol of the reference wrapper
+    (reference eval/tokenizer/ptbtokenizer.py:46-113): one caption per line on
+    a temp file, `java -cp <jar> edu.stanford.nlp.process.PTBTokenizer
+    -preserveLines -lowerCase`, then the punctuation drop."""
+    import os
+    import subprocess
+    import tempfile
+
+    ids = [k for k, v in captions_for_image.items() for _ in range(len(v))]
+    sentences = "\n".join(
+        c["caption"].replace("\n", " ")
+        for v in captions_for_image.values()
+        for c in v
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".tmp", delete=False) as f:
+        f.write(sentences)
+        tmp = f.name
+    try:
+        proc = subprocess.run(
+            ["java", "-cp", jar, "edu.stanford.nlp.process.PTBTokenizer",
+             "-preserveLines", "-lowerCase", tmp],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, check=True,
+        )
+    finally:
+        os.remove(tmp)
+    lines = proc.stdout.decode("utf-8").split("\n")
+    out: Dict[object, List[str]] = {}
+    for k, line in zip(ids, lines):
+        out.setdefault(k, []).append(
+            " ".join(w for w in line.rstrip().split(" ") if w not in PUNCTUATIONS)
+        )
     return out

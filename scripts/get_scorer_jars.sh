@@ -1,0 +1,49 @@
+#!/usr/bin/env sh
+# Fetch the optional Java scorer toolchain (METEOR 1.5, SPICE 1.0, Stanford
+# CoreNLP models) and print the env vars that activate the jar-backed scorers.
+#
+# Capability parity with the reference's eval/get_stanford_models.sh — the
+# jars are authoritative when present; without them the framework's NATIVE
+# scorers (evalcap/meteor_native.py, evalcap/spice_native.py, the native PTB
+# tokenizer in evalcap/tokenizer.py) produce all five metrics offline, so this
+# script is OPTIONAL and only needed to cross-check against the original Java
+# implementations.
+#
+# Usage: scripts/get_scorer_jars.sh [DEST_DIR]   (default: ./scorer_jars)
+set -e
+
+DEST="${1:-scorer_jars}"
+mkdir -p "$DEST"
+cd "$DEST"
+
+CORENLP=stanford-corenlp-full-2015-12-09
+CORENLP_JAR=stanford-corenlp-3.6.0
+
+if [ ! -f meteor-1.5.jar ]; then
+    echo "Downloading METEOR 1.5..."
+    wget -q https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/meteor-1.5.jar
+    wget -q https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/data/paraphrase-en.gz -O paraphrase-en.gz
+fi
+
+if [ ! -f spice-1.0.jar ]; then
+    echo "Downloading SPICE 1.0..."
+    wget -q https://panderson.me/images/SPICE-1.0.zip
+    unzip -q SPICE-1.0.zip "SPICE-1.0/spice-1.0.jar" "SPICE-1.0/lib/*" -d .
+    mv SPICE-1.0/spice-1.0.jar .
+    mv SPICE-1.0/lib ./spice_lib
+    rm -rf SPICE-1.0 SPICE-1.0.zip
+fi
+
+if [ ! -f "$CORENLP_JAR.jar" ]; then
+    echo "Downloading Stanford CoreNLP (PTB tokenizer + SPICE models)..."
+    wget -q "http://nlp.stanford.edu/software/$CORENLP.zip"
+    unzip -q "$CORENLP.zip" "$CORENLP/$CORENLP_JAR.jar" "$CORENLP/$CORENLP_JAR-models.jar" -d .
+    mv "$CORENLP/$CORENLP_JAR.jar" "$CORENLP/$CORENLP_JAR-models.jar" .
+    rm -rf "$CORENLP" "$CORENLP.zip"
+fi
+
+HERE="$(pwd -P)"
+echo "Done. To activate the jar-backed scorers:"
+echo "  export METEOR_JAR=$HERE/meteor-1.5.jar"
+echo "  export SPICE_JAR=$HERE/spice-1.0.jar"
+echo "  export CORENLP_JAR=$HERE/$CORENLP_JAR.jar"
