@@ -77,6 +77,49 @@ def shift_attn_mask(resolution: int, window_size: int, shift_size: int) -> np.nd
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def window_transition_perm(
+    res: int, window: int, from_shift: int, to_shift: int
+) -> np.ndarray:
+    """Token permutation taking a (window-partitioned, cyclically pre-rolled by
+    `from_shift`) layout directly to the `to_shift` layout: one static gather
+    replaces the reverse -> roll -> partition chain between consecutive Swin
+    blocks (each a full HBM pass; the composed permutation is a single pass).
+
+    perm[i] = flat index in the FROM layout of the token that position i of
+    the TO layout holds. Both layouts flatten (nW, window, window) row-major
+    over a (res, res) grid rolled by (-shift, -shift)."""
+    grid = np.arange(res * res).reshape(res, res)
+
+    def layout(shift):
+        rolled = np.roll(grid, (-shift, -shift), axis=(0, 1))
+        return (
+            rolled.reshape(res // window, window, res // window, window)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+
+    src = layout(from_shift)  # FROM position j holds spatial token src[j]
+    dst = layout(to_shift)  # TO position i needs spatial token dst[i]
+    inv = np.empty_like(src)
+    inv[src] = np.arange(src.size)
+    return inv[dst].astype(np.int32)
+
+
+def _window_transition(
+    xw: jnp.ndarray, b: int, res: int, window: int, from_shift: int,
+    to_shift: int,
+) -> jnp.ndarray:
+    """(B*nW, n, C) in from_shift window layout -> to_shift window layout."""
+    if from_shift == to_shift:
+        return xw
+    n = window * window
+    c = xw.shape[-1]
+    perm = jnp.asarray(window_transition_perm(res, window, from_shift, to_shift))
+    flat = xw.reshape(b, (res * res // n) * n, c)
+    return jnp.take(flat, perm, axis=1).reshape(-1, n, c)
+
+
 def effective_window(cfg: SwinConfig, stage: int, block: int):
     """Per-block (window_size, shift_size): when the stage resolution is <= the
     window, the whole grid is one window and the shift is disabled
@@ -390,6 +433,96 @@ def _swin_block_fused_path(
     return out
 
 
+def _stage_fused_mode(stage, cfg: SwinConfig, c: int, dtype):
+    """Whether ALL of a stage's blocks take the same fused inference path:
+    returns 'full' | 'halves' | None. Uniformity lets the stage run
+    window-resident (see _run_stage_fused_windows)."""
+    from ..ops import swin_block_fused as sbf
+
+    a8 = ["a8" in b["mlp"]["fc1"] for b in stage["blocks"]]
+    if any(a8) != all(a8):
+        return None
+    if not any(a8) and sbf.eligible(c, cfg.mlp_ratio, dtype):
+        return "full"
+    if sbf.eligible_halves(c, cfg.mlp_ratio, dtype):
+        return "halves"
+    return None
+
+
+def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
+    """Inference stage execution in WINDOW-RESIDENT layout: x is partitioned
+    into windows once at stage entry and stays there; the shift transitions
+    between consecutive blocks run as single composed-permutation gathers
+    (window_transition_perm) instead of the reverse -> roll -> partition
+    relayout chains, and the position-wise MLP half runs directly on the
+    window layout (row order is irrelevant to it). Deep stages scan over
+    (plain, shifted) block pairs like the XLA path."""
+    from ..ops.swin_block_fused import (
+        swin_attn_half_fused,
+        swin_block_fused,
+        swin_mlp_half_fused,
+    )
+
+    b, l, c = x.shape
+    res = cfg.stage_resolution(i)[0]
+    heads = cfg.num_heads[i]
+    window, _ = effective_window(cfg, i, 0)
+    n = window * window
+    num_windows = (res // window) ** 2
+    dk = c // heads
+    scale = float(cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5)
+    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+
+    def block(bp, xw, shift):
+        mask = (
+            jnp.asarray(shift_attn_mask(res, window, shift)) if shift > 0 else None
+        )
+        bias = (
+            jnp.take(bp["attn"]["rel_bias"], idx, axis=0)
+            .reshape(n, n, heads)
+            .transpose(2, 0, 1)
+        )
+        if mode == "full":
+            return swin_block_fused(
+                xw, bp, bias, mask, heads, num_windows, scale, cfg.ln_eps
+            )
+        xw = swin_attn_half_fused(
+            xw, bp, bias, mask, heads, num_windows, scale, cfg.ln_eps
+        )
+        return swin_mlp_half_fused(xw, bp, cfg.ln_eps)
+
+    xw = _window_partition(x.reshape(b, res, res, c), window)
+    if dtype is not None:
+        xw = xw.astype(dtype)
+
+    blocks = stage["blocks"]
+    depth = len(blocks)
+    shifts = [effective_window(cfg, i, j)[1] for j in range(depth)]
+    if depth < 4:
+        cur = 0
+        for j in range(depth):
+            xw = _window_transition(xw, b, res, window, cur, shifts[j])
+            cur = shifts[j]
+            xw = block(blocks[j], xw, shifts[j])
+        xw = _window_transition(xw, b, res, window, cur, 0)
+    else:
+        assert depth % 2 == 0 and shifts[0] == 0
+        even = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[0::2])
+        odd = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[1::2])
+        s = shifts[1]
+
+        def body(carry, inp):
+            pe, po = inp
+            h = block(pe, carry, 0)
+            h = _window_transition(h, b, res, window, 0, s)
+            h = block(po, h, s)
+            h = _window_transition(h, b, res, window, s, 0)
+            return h, None
+
+        xw, _ = jax.lax.scan(body, xw, (even, odd))
+    return _window_reverse(xw, window, res, res).reshape(b, l, c)
+
+
 def _fused_train_active(cfg: SwinConfig, p, c: int, train: bool, dtype) -> bool:
     """Whether swin_block will take the fused training (custom-VJP) path:
     requires dense weights, zero attn/MLP dropout (the reference recipe,
@@ -572,8 +705,18 @@ def _run_stage(
     scanning shrinks the HLO ~depth/2 x — a large cut to the minutes-long XLA
     compile of the full backbone — at the cost of stacking the stage's weights
     once per forward (~2% of backbone time). Shallow stages stay unrolled.
+
+    Fused-kernel inference stages run window-resident (one layout gather per
+    block transition instead of the reverse/roll/partition chains; see
+    _run_stage_fused_windows).
     """
     depth = len(stage["blocks"])
+    if not train and cfg.attention_impl == "fused" and depth > 0:
+        mode = _stage_fused_mode(
+            stage, cfg, x.shape[-1], x.dtype if dtype is None else dtype
+        )
+        if mode is not None:
+            return _run_stage_fused_windows(stage, cfg, x, i, dtype, mode)
     if depth < 4:
         for j in range(depth):
             fn = swin_block
