@@ -329,7 +329,8 @@ def swin_block(
                 p, cfg, x, stage, window, shift, dtype, mode="halves"
             )
 
-    if _fused_train_active(cfg, p, c, train, x.dtype):
+    train_mode = _fused_train_mode(cfg, p, c, train, x.dtype)
+    if train_mode is not None:
         # consume the rng stream in the XLA path's exact order (attn-drop,
         # proj-drop, drop-path 1, mlp-drop x2, drop-path 2) so switching
         # impls mid-recipe keeps downstream rngs aligned; the zero-rate
@@ -340,7 +341,7 @@ def swin_block(
         k_dp2 = rngs.next()
         return _swin_block_fused_train_path(
             p, cfg, x, stage, window, shift, dtype,
-            drop_path_rate, k_dp1, k_dp2,
+            drop_path_rate, k_dp1, k_dp2, mode=train_mode,
         )
 
     shortcut = x
@@ -523,10 +524,12 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
     return _window_reverse(xw, window, res, res).reshape(b, l, c)
 
 
-def _fused_train_active(cfg: SwinConfig, p, c: int, train: bool, dtype) -> bool:
-    """Whether swin_block will take the fused training (custom-VJP) path:
-    requires dense weights, zero attn/MLP dropout (the reference recipe,
-    train.py:396-398), and a VMEM-eligible stage width."""
+def _fused_train_mode(cfg: SwinConfig, p, c: int, train: bool, dtype):
+    """Which fused training (custom-VJP) path swin_block will take:
+    'full' (whole-block kernel, stage weights fit VMEM — Swin-L 0/1),
+    'halves' (attention-half + MLP-half kernels — Swin-L stage 2), or None
+    (XLA path). Requires dense weights and zero attn/MLP dropout (the
+    reference recipe, train.py:396-398)."""
     if not (
         cfg.attention_impl == "fused"
         and train
@@ -534,25 +537,37 @@ def _fused_train_active(cfg: SwinConfig, p, c: int, train: bool, dtype) -> bool:
         and cfg.attn_drop_rate == 0.0
         and "w" in p["attn"]["qkv"]
     ):
-        return False
+        return None
     from ..ops import swin_block_fused as sbf
 
-    return sbf.eligible(c, cfg.mlp_ratio, dtype)
+    if sbf.eligible(c, cfg.mlp_ratio, dtype):
+        return "full"
+    if sbf.eligible_halves(c, cfg.mlp_ratio, dtype):
+        return "halves"
+    return None
+
+
+def _fused_train_active(cfg: SwinConfig, p, c: int, train: bool, dtype) -> bool:
+    return _fused_train_mode(cfg, p, c, train, dtype) is not None
 
 
 def _swin_block_fused_train_path(
     p, cfg: SwinConfig, x, stage, window, shift, dtype, drop_path_rate,
-    k_dp1, k_dp2,
+    k_dp1, k_dp2, mode: str = "full",
 ):
-    """Training path through the fused block kernel + its custom VJP
-    (ops/swin_block_fused.swin_block_fused_train). Layout ops (roll, window
-    partition/reverse) and the rel-pos bias gather stay in XLA, so the bias
-    TABLE gradient flows through the gather's own VJP; the per-image
-    stochastic-depth scales are drawn here with the same keys the XLA path
-    would use."""
+    """Training path through the fused kernels + their custom VJPs
+    (ops/swin_block_fused.swin_block_fused_train for mode='full';
+    swin_attn_half_fused_train + swin_mlp_half_fused_train for mode='halves'
+    — stages whose full weight set exceeds VMEM, Swin-L stage 2). Layout ops
+    (roll, window partition/reverse) and the rel-pos bias gather stay in XLA,
+    so the bias TABLE gradient flows through the gather's own VJP; the
+    per-image stochastic-depth scales are drawn here with the same keys the
+    XLA path would use."""
     from ..ops.swin_block_fused import (
+        swin_attn_half_fused_train,
         swin_block_fused_train,
-        windows_per_program,
+        swin_mlp_half_fused_train,
+        train_fwd_wpb,
     )
 
     b, l, c = x.shape
@@ -585,21 +600,39 @@ def _swin_block_fused_train_path(
         mask_b = jax.random.bernoulli(key, keep, (b,))
         return jnp.where(mask_b, 1.0 / keep, 0.0).astype(jnp.float32)
 
-    wpb = windows_per_program(num_windows, n, c, xw.shape[0])
+    wpb = train_fwd_wpb(num_windows, n, c, xw.shape[0])
     strips_per_img = num_windows // wpb
     m1 = jnp.repeat(dp_scale(k_dp1), strips_per_img)[:, None]
-    m2 = jnp.repeat(dp_scale(k_dp2), strips_per_img)[:, None]
 
-    p_used = {
-        "norm1": p["norm1"],
-        "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]},
-        "norm2": p["norm2"],
-        "mlp": p["mlp"],
-    }
-    out = swin_block_fused_train(
-        xw, p_used, bias, mask, m1, m2, heads, num_windows, float(scale),
-        cfg.ln_eps,
-    )
+    if mode == "full":
+        m2 = jnp.repeat(dp_scale(k_dp2), strips_per_img)[:, None]
+        p_used = {
+            "norm1": p["norm1"],
+            "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]},
+            "norm2": p["norm2"],
+            "mlp": p["mlp"],
+        }
+        out = swin_block_fused_train(
+            xw, p_used, bias, mask, m1, m2, heads, num_windows, float(scale),
+            cfg.ln_eps,
+        )
+    else:
+        p_attn = {
+            "norm1": p["norm1"],
+            "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]},
+        }
+        x2 = swin_attn_half_fused_train(
+            xw, p_attn, bias, mask, m1, heads, num_windows, float(scale),
+            cfg.ln_eps,
+        )
+        # MLP half is position-wise: run it on the flat window-layout rows
+        # (rows stay image-major, so the per-image drop-path scale holds
+        # constant over each row block)
+        p_mlp = {"norm2": p["norm2"], "mlp": p["mlp"]}
+        out = swin_mlp_half_fused_train(
+            x2.reshape(-1, c), p_mlp, dp_scale(k_dp2), cfg.ln_eps,
+            num_windows * n,
+        ).reshape(-1, n, c)
     out = _window_reverse(out, window, res, res)
     if shift > 0:
         out = jnp.roll(out, shift=(shift, shift), axis=(1, 2))
@@ -758,7 +791,12 @@ def _run_stage(
         h = swin_block(po, cfg, h, i, 1, ko if use_rng else None, train, do, dtype)
         return h, None
 
-    if remat:
+    # fused-train blocks carry their own recompute-in-backward custom VJPs —
+    # wrapping the pair body in jax.checkpoint would discard their saved
+    # residuals and replay the whole forward for no memory benefit
+    if remat and not _fused_train_active(
+        cfg, blocks[0], x.shape[-1], train, x.dtype if dtype is None else dtype
+    ):
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, (even, odd, rate_e, rate_o, keys_e, keys_o))
     return x

@@ -67,6 +67,21 @@ def windows_per_program(
     return best
 
 
+def train_fwd_wpb(num_windows: int, n_tokens: int, channels: int, bw: int) -> int:
+    """Strip size for the TRAINING forward kernels: 3/4 of the inference
+    target. The train variants hold the extra x2 output (full mode) / SMEM
+    drop-path scales beside the inference buffer set; at the full inference
+    strip size a fresh compile overflows the 16 MB scoped-vmem budget by
+    ~1 MB (measured: Swin-L stage 0, b8, bf16 — 16.94M vs the 16M limit;
+    cached executables from other flag environments masked this)."""
+    best = 1
+    target = (3 * _TARGET_ELEMS // 4) if bw < 1024 else (3 * _TARGET_ELEMS // 8)
+    for wpb in range(1, num_windows + 1):
+        if num_windows % wpb == 0 and wpb * n_tokens * channels <= target:
+            best = wpb
+    return best
+
+
 def eligible(dim: int, mlp_ratio: float, dtype) -> bool:
     """Whether the stage's full weight set fits the VMEM budget."""
     itemsize = jnp.dtype(dtype).itemsize
@@ -627,7 +642,7 @@ def _train_fwd_call(x, p, bias, mask, m1s, m2s, heads, num_windows, scale, eps):
     """Forward pallas_call for training: returns (y, x2). m1s/m2s: (strips, 1)
     f32 per-strip stochastic-depth scales."""
     bw, n, c = x.shape
-    wpb = windows_per_program(num_windows, n, c, bw)
+    wpb = train_fwd_wpb(num_windows, n, c, bw)
     grid = (bw // wpb,)
     mask_blocks = num_windows // wpb
 
@@ -1052,7 +1067,7 @@ def _train_bwd_rule(heads, num_windows, scale, eps, res, dy):
     )
     wpb = _bwd_wpb(num_windows, n, c, bw)
     # m1 was built per FORWARD strip; re-tile it to the backward strip size
-    fwd_wpb = windows_per_program(num_windows, n, c, bw)
+    fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
     m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
     m1_bwd = m1_per_window[::wpb]
     dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_call(
@@ -1088,3 +1103,240 @@ def _train_bwd_rule(heads, num_windows, scale, eps, res, dy):
 
 
 swin_block_fused_train.defvjp(_train_fwd_rule, _train_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Standalone HALF-block training (stages whose full weight set exceeds VMEM —
+# Swin-L stage 2). The forward halves mirror the inference half kernels plus
+# the per-strip stochastic-depth scale; the backwards REUSE the full-block
+# VJP's flash-style kernels (_attn_bwd_call / _mlp_bwd_call) unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _attn_half_kernel_train(
+    x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    bias_ref, m1_ref, mask_ref, out_ref, attn_scr,
+    *, heads, n, wpb, scale, eps,
+):
+    c = x_ref.shape[-1]
+    rows = wpb * n
+    x = x_ref[:].reshape(rows, c)
+    xn = _ln(x, g1_ref, b1_ref, eps)
+    qkv = _linear(xn, wqkv_ref, bqkv_ref)
+    _attention_rows(
+        qkv, attn_scr, bias_ref, mask_ref,
+        heads=heads, n=n, wpb=wpb, c=c, scale=scale,
+    )
+    m1 = m1_ref[pl.program_id(0), 0]
+    branch = _linear(attn_scr[:], wproj_ref, bproj_ref).astype(jnp.float32)
+    out_ref[:] = (x.astype(jnp.float32) + m1 * branch).astype(x.dtype).reshape(
+        wpb, n, c
+    )
+
+
+def _attn_half_train_no_mask(
+    x_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref, out_ref,
+    attn_scr, *, heads, n, wpb, scale, eps,
+):
+    _attn_half_kernel_train(
+        x_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref, None,
+        out_ref, attn_scr, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )
+
+
+def _attn_half_train_fwd_call(x, p, bias, mask, m1s, heads, num_windows, scale, eps):
+    bw, n, c = x.shape
+    wpb = train_fwd_wpb(num_windows, n, c, bw)
+    mask_blocks = num_windows // wpb
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["w"].astype(x.dtype), _bias_of(p["attn"]["qkv"], 3 * c),
+        p["attn"]["proj"]["w"].astype(x.dtype), _bias_of(p["attn"]["proj"], c),
+    ]
+    in_specs = [
+        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        *[const(w.shape) for w in weights],
+        const((heads, n, n)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [x, *weights, bias.astype(jnp.float32), m1s]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _attn_half_kernel_train, heads=heads, n=n, wpb=wpb, scale=scale,
+            eps=eps,
+        )
+    else:
+        kernel = functools.partial(
+            _attn_half_train_no_mask, heads=heads, n=n, wpb=wpb, scale=scale,
+            eps=eps,
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // wpb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def swin_attn_half_fused_train(x, p, bias, mask, m1, heads, num_windows, scale, eps):
+    """Differentiable x + m1*proj(window_attention(LN1(x))) for stages whose
+    attention-half weights fit VMEM but the full block set doesn't. x:
+    (B*nW, n, c) window-partitioned; p: {'norm1', 'attn': {'qkv', 'proj'}}
+    (dense); bias: (H, n, n) materialized rel-pos bias (table grad flows
+    through the caller's gather); m1: (fwd strips, 1) f32 per-strip
+    stochastic-depth scales. The VJP recomputes the attention internals from
+    the saved x with the full-block VJP's backward kernel."""
+    return _attn_half_train_fwd_call(
+        x, p, bias, mask, m1, heads, num_windows, scale, eps
+    )
+
+
+def _attn_half_train_fwd_rule(x, p, bias, mask, m1, heads, num_windows, scale, eps):
+    y = _attn_half_train_fwd_call(
+        x, p, bias, mask, m1, heads, num_windows, scale, eps
+    )
+    return y, (x, p, bias, mask, m1)
+
+
+def _attn_half_train_bwd_rule(heads, num_windows, scale, eps, res, dy):
+    x, p, bias, mask, m1 = res
+    bw, n, c = x.shape
+    wpb = _bwd_wpb(num_windows, n, c, bw)
+    fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
+    m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
+    m1_bwd = m1_per_window[::wpb]
+    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_call(
+        x, dy, p, bias, mask, m1_bwd, heads, num_windows, scale, eps, wpb
+    )
+
+    def lin_grad(node, dw, db):
+        g = {"w": dw}
+        if "b" in node:
+            g["b"] = db[0]
+        return g
+
+    dp = {
+        "norm1": {"scale": dg1[0], "bias": dbe1[0]},
+        "attn": {
+            "qkv": lin_grad(p["attn"]["qkv"], dwqkv, dbqkv),
+            "proj": lin_grad(p["attn"]["proj"], dwproj, dbproj),
+        },
+    }
+    dp = jax.tree.map(lambda g, v: g.astype(v.dtype), dp, p)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dx, dp, dbias.astype(bias.dtype), dmask, jnp.zeros_like(m1)
+
+
+swin_attn_half_fused_train.defvjp(_attn_half_train_fwd_rule, _attn_half_train_bwd_rule)
+
+
+def _mlp_half_kernel_train(
+    x2_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, m2_ref,
+    out_ref, *, eps,
+):
+    x2 = x2_ref[:]
+    h = _ln(x2, g2_ref, b2_ref, eps)
+    h = _linear(h, wfc1_ref, bfc1_ref)
+    h = _gelu_exact(h.astype(jnp.float32)).astype(h.dtype)
+    m2 = m2_ref[pl.program_id(0), 0]
+    mlp = _linear(h, wfc2_ref, bfc2_ref).astype(jnp.float32)
+    out_ref[:] = (x2.astype(jnp.float32) + m2 * mlp).astype(x2.dtype)
+
+
+def _mlp_half_train_fwd_call(x2, p, m2_rows, eps, rpp):
+    rows, c = x2.shape
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["w"].astype(x2.dtype), _bias_of(p["mlp"]["fc1"], hidden),
+        p["mlp"]["fc2"]["w"].astype(x2.dtype), _bias_of(p["mlp"]["fc2"], c),
+    ]
+    return pl.pallas_call(
+        functools.partial(_mlp_half_kernel_train, eps=eps),
+        grid=(rows // rpp,),
+        in_specs=[
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            *[const(w.shape) for w in weights],
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, *weights, m2_rows)
+
+
+def _mlp_half_train(x2, p, m2, eps, rows_per_image):
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+    rpp = _mlp_rows_per_program(rows_per_image, hidden)
+    m2_rows = jnp.repeat(m2[:, None], rows_per_image // rpp, axis=0).reshape(-1, 1)
+    return _mlp_half_train_fwd_call(x2, p, m2_rows, eps, rpp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def swin_mlp_half_fused_train(x2, p, m2, eps, rows_per_image):
+    """Differentiable x2 + m2*fc2(gelu(fc1(LN2(x2)))) over flat rows (R, c).
+    p: {'norm2', 'mlp'} (dense). m2: (B,) f32 per-IMAGE stochastic-depth
+    scales; rows_per_image (static) = rows belonging to one image (row blocks
+    never straddle images so the per-image scale is constant over a block).
+    The VJP recomputes from the saved x2 with the full-block VJP's backward
+    kernel."""
+    return _mlp_half_train(x2, p, m2, eps, rows_per_image)
+
+
+def _mlp_half_train_fwd_rule(x2, p, m2, eps, rows_per_image):
+    y = _mlp_half_train(x2, p, m2, eps, rows_per_image)
+    return y, (x2, p, m2)
+
+
+def _mlp_half_train_bwd_rule(eps, rows_per_image, res, dy):
+    x2, p, m2 = res
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+    rpp = _mlp_rows_per_program(rows_per_image, hidden, budget=2_200_000)
+    m2_rows = jnp.repeat(m2[:, None], rows_per_image // rpp, axis=0).reshape(-1, 1)
+    dx2, dw1, db1, dw2, db2, dg2, dbe2 = _mlp_bwd_call(
+        x2, dy, p, m2_rows, eps, rpp
+    )
+
+    def lin_grad(node, dw, db):
+        g = {"w": dw}
+        if "b" in node:
+            g["b"] = db[0]
+        return g
+
+    dp = {
+        "norm2": {"scale": dg2[0], "bias": dbe2[0]},
+        "mlp": {
+            "fc1": lin_grad(p["mlp"]["fc1"], dw1, db1),
+            "fc2": lin_grad(p["mlp"]["fc2"], dw2, db2),
+        },
+    }
+    dp = jax.tree.map(lambda g, v: g.astype(v.dtype), dp, p)
+    return dx2, dp, jnp.zeros_like(m2)
+
+
+swin_mlp_half_fused_train.defvjp(_mlp_half_train_fwd_rule, _mlp_half_train_bwd_rule)

@@ -128,3 +128,44 @@ def test_fused_train_remat_gating_preserves_grads():
     np.testing.assert_allclose(val_b, val_a, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("stage,block,rate", [
+    (0, 0, 0.0),
+    (0, 1, 0.0),   # shifted block
+    (1, 0, 0.3),   # stochastic depth active
+])
+def test_fused_train_halves_matches_xla_grads(stage, block, rate, monkeypatch):
+    """Stages whose full weight set exceeds VMEM train through the standalone
+    attention-half + MLP-half VJPs (Swin-L stage 2). Tiny dims are always
+    'full'-eligible, so force the halves path by failing the full check."""
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    monkeypatch.setattr(sbf, "eligible", lambda *a, **k: False)
+    assert swin._fused_train_mode(
+        FUSED, _block_inputs(stage)[0], 16 * 2**stage, True, jnp.float32
+    ) == "halves"
+
+    p, x = _block_inputs(stage)
+    key = jax.random.PRNGKey(11)
+
+    def loss(cfg):
+        def f(p_, x_):
+            y = swin.swin_block(
+                p_, cfg, x_, stage, block, key, True, rate, None
+            )
+            return jnp.sum(y * y)
+
+        return f
+
+    val_x, (gp_x, gx_x) = jax.value_and_grad(loss(TINY), argnums=(0, 1))(p, x)
+    val_f, (gp_f, gx_f) = jax.value_and_grad(loss(FUSED), argnums=(0, 1))(p, x)
+
+    np.testing.assert_allclose(val_f, val_x, rtol=2e-5)
+    np.testing.assert_allclose(gx_f, gx_x, rtol=2e-4, atol=2e-5)
+    flat_f, _ = jax.tree.flatten(gp_f)
+    paths = jax.tree_util.tree_leaves_with_path(gp_x)
+    for (path, a), b in zip(paths, flat_f):
+        np.testing.assert_allclose(
+            b, a, rtol=2e-4, atol=2e-5, err_msg=str(path)
+        )
