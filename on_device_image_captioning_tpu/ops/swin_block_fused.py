@@ -875,18 +875,19 @@ def _attn_bwd_kernel(
         preferred_element_type=jnp.float32,
     )  # (rows, c) f32
 
-    # per-window, per-head attention backward (recompute S and P; f32 dots —
-    # same discipline as ops/dyn_exp_step.py, where bf16 operands with f32
-    # accumulation miscompile under Mosaic)
+    # per-window, per-head attention backward (recompute S and P). Dots run
+    # on COMPUTE-DTYPE operands with f32 accumulation — the same discipline
+    # as the forward _attention_rows at these shapes (the all-f32 variant
+    # matched f32-mode parity but ran the MXU at half rate in bf16 training:
+    # stage-2 attn bwd measured ~2x its FLOP-time, i.e. f32-MXU-bound).
+    # In f32 mode cd == f32, so grad-parity numerics are unchanged.
     for w in range(wpb):
         row0 = w * n
         for h in range(heads):
             col = h * dk
-            q = qkv[row0 : row0 + n, col : col + dk].astype(jnp.float32) * scale
-            k = qkv[row0 : row0 + n, c + col : c + col + dk].astype(jnp.float32)
-            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk].astype(
-                jnp.float32
-            )
+            q = qkv[row0 : row0 + n, col : col + dk] * scale
+            k = qkv[row0 : row0 + n, c + col : c + col + dk]
+            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk]
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -895,23 +896,25 @@ def _attn_bwd_kernel(
             if mask_ref is not None:
                 s = s + mask_ref[w]
             p = jax.nn.softmax(s, axis=-1)  # (n, n) f32
-            dao_h = dao[row0 : row0 + n, col : col + dk]  # f32
+            p_cd = p.astype(cd)
+            dao_h = dao[row0 : row0 + n, col : col + dk].astype(cd)
             dp = jax.lax.dot_general(
                 dao_h, v, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             dbias_ref[h] += ds
+            ds_cd = ds.astype(cd)
             dq = jax.lax.dot_general(
-                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                ds_cd, k, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             dk_ = jax.lax.dot_general(
-                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                ds_cd, q, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dv = jax.lax.dot_general(
-                p, dao_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                p_cd, dao_h, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dqkv_scr[row0 : row0 + n, col : col + dk] = dq
@@ -920,13 +923,14 @@ def _attn_bwd_kernel(
 
     dqkv = dqkv_scr[:]
     dbqkv_ref[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dqkv_cd = dqkv.astype(cd)
     dwqkv_ref[:] += jax.lax.dot_general(
-        xn1.astype(jnp.float32), dqkv,
+        xn1, dqkv_cd,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dxn1 = jax.lax.dot_general(
-        dqkv, wqkv_ref[:].astype(jnp.float32),
+        dqkv_cd, wqkv_ref[:].astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (rows, c)

@@ -78,7 +78,13 @@ def build(what, batch):
         @jax.jit
         def fn(state, batch_data):
             st, m = step(state, batch_data, jax.random.PRNGKey(1))
-            return m["loss"]
+            # anchor the updated state so XLA can't dead-code-eliminate the
+            # backward pass + optimizer (returning only the loss would)
+            anchor = jax.tree.reduce(
+                lambda a, b: a + jnp.sum(b).astype(jnp.float32),
+                st.params, jnp.float32(0),
+            )
+            return m["loss"] + 0.0 * anchor
 
         return fn, (state, batch_data)
 

@@ -169,3 +169,35 @@ def test_fused_train_halves_matches_xla_grads(stage, block, rate, monkeypatch):
         np.testing.assert_allclose(
             b, a, rtol=2e-4, atol=2e-5, err_msg=str(path)
         )
+
+
+def test_fused_train_block_bf16_grads_close():
+    """bf16 training mode: the fused VJP's compute-dtype backward dots track
+    the XLA path's bf16 backward within bf16-roundoff tolerances (exact
+    parity is an f32-mode property — see the cases above)."""
+    p, x = _block_inputs(0)
+    key = jax.random.PRNGKey(5)
+
+    def loss(cfg):
+        def f(p_, x_):
+            y = swin.swin_block(
+                p_, cfg, x_, 0, 1, key, True, 0.0, jnp.bfloat16
+            )
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        return f
+
+    xb = x.astype(jnp.bfloat16)
+    val_x, (gp_x, gx_x) = jax.value_and_grad(loss(TINY), argnums=(0, 1))(p, xb)
+    val_f, (gp_f, gx_f) = jax.value_and_grad(loss(FUSED), argnums=(0, 1))(p, xb)
+    np.testing.assert_allclose(val_f, val_x, rtol=2e-2)
+    np.testing.assert_allclose(
+        gx_f.astype(np.float32), gx_x.astype(np.float32), rtol=0.15, atol=0.05
+    )
+    flat_f, _ = jax.tree.flatten(gp_f)
+    paths = jax.tree_util.tree_leaves_with_path(gp_x)
+    for (path, a), b in zip(paths, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            rtol=0.15, atol=0.05, err_msg=str(path),
+        )
