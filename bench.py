@@ -45,9 +45,10 @@ def main():
 
     import dataclasses
 
-    # b32 is the measured throughput optimum with the fused kernels
-    # (sweep: b8 238.7 / b16 257.3 / b32 263.8 / b64 261.0 img/s)
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # b48 is the measured throughput optimum with the fused kernels +
+    # window-resident stages + fixed-slot decode (sweep after those:
+    # b32 303.4 / b48 311.9 / b64 311.0 img/s; earlier sweep peaked at b32)
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     beam = int(os.environ.get("BENCH_BEAM", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     quant = os.environ.get("BENCH_QUANT", "none")  # none | w8 | w8a8
