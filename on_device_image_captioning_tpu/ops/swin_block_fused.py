@@ -51,15 +51,23 @@ _HALF_WEIGHT_BYTES_CAP = 10 * 1024 * 1024
 
 
 def windows_per_program(
-    num_windows: int, n_tokens: int, channels: int, total_windows: int = 0
+    num_windows: int, n_tokens: int, channels: int, total_windows: int = 0,
+    quantized: bool = False,
 ) -> int:
     """Largest divisor of num_windows with wpb * n * c <= the element target.
 
     total_windows: batch * num_windows — very long grids (batch >= 32 at
     Swin-L stage 0) get deeper DMA pipelining from Mosaic and blow the 16 MB
     scoped-vmem budget at the full strip size, so halve the target there
-    (measured: b32 OOMs by ~1 MB at 8 windows/program, fits at 4)."""
+    (measured: b32 OOMs by ~1 MB at 8 windows/program, fits at 4).
+
+    quantized: int8 weight nodes dequantize inside the fusion feeding the
+    kernel, whose temps ride the same scoped-vmem budget — at the full strip
+    the w8 stage-1 kernel overflows by 12 KB (measured), so shave the
+    target."""
     target = _TARGET_ELEMS if total_windows < 1024 else _TARGET_ELEMS // 2
+    if quantized:
+        target = target * 7 // 8
     best = 1
     for wpb in range(1, num_windows + 1):
         if num_windows % wpb == 0 and wpb * n_tokens * channels <= target:
@@ -234,7 +242,9 @@ def swin_block_fused(
     Returns the full block output in the same window layout.
     """
     bw, n, c = x.shape
-    wpb = windows_per_program(num_windows, n, c, bw)
+    wpb = windows_per_program(
+        num_windows, n, c, bw, quantized="w_q" in p["attn"]["qkv"]
+    )
     grid = (bw // wpb,)
     mask_blocks = num_windows // wpb
 
@@ -359,7 +369,9 @@ def swin_attn_half_fused(
 ) -> jnp.ndarray:
     """x + proj(window_attention(LN1(x))) on window-partitioned x (B*nW, N, C)."""
     bw, n, c = x.shape
-    wpb = windows_per_program(num_windows, n, c, bw)
+    wpb = windows_per_program(
+        num_windows, n, c, bw, quantized="w_q" in p["attn"]["qkv"]
+    )
     mask_blocks = num_windows // wpb
 
     def const(shape):
