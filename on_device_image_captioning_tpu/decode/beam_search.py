@@ -143,6 +143,7 @@ def beam_loop(
     b: int,
     decode_cfg: DecodeConfig,
     rng: Optional[jax.Array] = None,
+    double_buffer: Optional[bool] = None,
 ) -> BeamResult:
     """Core fixed-shape beam loop over an opaque MUTABLE decoder-cache pytree
     whose array leaves all have the flattened (batch*beam) leading axis.
@@ -165,7 +166,12 @@ def beam_loop(
     after step 1; its cache-side compute runs unconditionally, which is
     harmless: when the condition has failed, the loop exits right after
     (the bookkeeping that feeds the condition is kept at step 1's values),
-    and the final result depends only on the bookkeeping."""
+    and the final result depends only on the bookkeeping.
+
+    double_buffer defaults to whether the Pallas dyn-step impl is active —
+    the XLA impl ignores the donated buffers, so carrying the spare set
+    would just double decode-cache HBM residency; it gets a plain
+    one-step-per-iteration body instead."""
     k = decode_cfg.beam_size
     L = decode_cfg.max_seq_len
     sample = decode_cfg.sample_or_max == "sample"
@@ -190,7 +196,9 @@ def beam_loop(
     beam_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
     state = _gather_rows(state, beam_idx)
 
-    spare = jax.tree.map(jnp.zeros_like, state)
+    if double_buffer is None:
+        double_buffer = dc._DYN_STEP_IMPL == "pallas"
+    spare = jax.tree.map(jnp.zeros_like, state) if double_buffer else ()
 
     class Carry(NamedTuple):
         t: jnp.ndarray
@@ -276,6 +284,9 @@ def beam_loop(
         )
 
     def body(c: Carry):
+        if not double_buffer:
+            # XLA dyn-step impl ignores donated buffers: plain one-step body
+            return substep(c, None)
         # step 1: reads buffer set A (c.state), writes in place into the dead
         # set B (c.spare)
         c1 = substep(c, c.spare)

@@ -112,7 +112,9 @@ def _tokenize_captions_jar(captions_for_image: Dict, jar: str):
         for v in captions_for_image.values()
         for c in v
     )
-    with tempfile.NamedTemporaryFile("w", suffix=".tmp", delete=False) as f:
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".tmp", delete=False, encoding="utf-8"
+    ) as f:
         f.write(sentences)
         tmp = f.name
     try:
@@ -124,9 +126,11 @@ def _tokenize_captions_jar(captions_for_image: Dict, jar: str):
     finally:
         os.remove(tmp)
     lines = proc.stdout.decode("utf-8").split("\n")
-    out: Dict[object, List[str]] = {}
+    # seed every image id so caption-less ids keep an empty list, like the
+    # native path
+    out: Dict[object, List[str]] = {k: [] for k in captions_for_image}
     for k, line in zip(ids, lines):
-        out.setdefault(k, []).append(
+        out[k].append(
             " ".join(w for w in line.rstrip().split(" ") if w not in PUNCTUATIONS)
         )
     return out

@@ -318,18 +318,26 @@ def swin_block(
         from ..ops import swin_block_fused as sbf
 
         # w8a8 nodes route through "halves" so the MLP half runs the int8 MXU
-        # kernel; attention stays bf16 (dequantized once per call)
+        # kernel; attention stays bf16 (dequantized once per call). Eligibility
+        # is decided on the COMPUTE dtype (the kernel casts x/weights to it).
+        cd = x.dtype if dtype is None else dtype
         a8 = "a8" in p["mlp"]["fc1"]
-        if not a8 and sbf.eligible(c, cfg.mlp_ratio, x.dtype):
+        if not a8 and sbf.eligible(c, cfg.mlp_ratio, cd):
             return _swin_block_fused_path(
                 p, cfg, x, stage, window, shift, dtype, mode="full"
             )
-        if sbf.eligible_halves(c, cfg.mlp_ratio, x.dtype):
+        if sbf.eligible_halves(c, cfg.mlp_ratio, cd):
             return _swin_block_fused_path(
                 p, cfg, x, stage, window, shift, dtype, mode="halves"
             )
 
-    train_mode = _fused_train_mode(cfg, p, c, train, x.dtype)
+    # eligibility is decided on the COMPUTE dtype (the kernels cast x/weights
+    # to `dtype`), matching _run_stage's remat gate exactly — deciding on
+    # x.dtype while x is still f32 would disagree with the gate and could
+    # silently drop jax.checkpoint from blocks that then take the XLA path
+    train_mode = _fused_train_mode(
+        cfg, p, c, train, x.dtype if dtype is None else dtype
+    )
     if train_mode is not None:
         # consume the rng stream in the XLA path's exact order (attn-drop,
         # proj-drop, drop-path 1, mlp-drop x2, drop-path 2) so switching

@@ -50,6 +50,17 @@ _HALF_WEIGHT_BYTES_CAP = 10 * 1024 * 1024
 # lane-slice loop below is the layout that works.
 
 
+def _largest_divisor_wpb(
+    num_windows: int, n_tokens: int, channels: int, target: int
+) -> int:
+    """Largest divisor of num_windows with wpb * n * c <= target elements."""
+    best = 1
+    for wpb in range(1, num_windows + 1):
+        if num_windows % wpb == 0 and wpb * n_tokens * channels <= target:
+            best = wpb
+    return best
+
+
 def windows_per_program(
     num_windows: int, n_tokens: int, channels: int, total_windows: int = 0,
     quantized: bool = False,
@@ -68,11 +79,7 @@ def windows_per_program(
     target = _TARGET_ELEMS if total_windows < 1024 else _TARGET_ELEMS // 2
     if quantized:
         target = target * 7 // 8
-    best = 1
-    for wpb in range(1, num_windows + 1):
-        if num_windows % wpb == 0 and wpb * n_tokens * channels <= target:
-            best = wpb
-    return best
+    return _largest_divisor_wpb(num_windows, n_tokens, channels, target)
 
 
 def train_fwd_wpb(num_windows: int, n_tokens: int, channels: int, bw: int) -> int:
@@ -82,12 +89,8 @@ def train_fwd_wpb(num_windows: int, n_tokens: int, channels: int, bw: int) -> in
     strip size a fresh compile overflows the 16 MB scoped-vmem budget by
     ~1 MB (measured: Swin-L stage 0, b8, bf16 — 16.94M vs the 16M limit;
     cached executables from other flag environments masked this)."""
-    best = 1
     target = (3 * _TARGET_ELEMS // 4) if bw < 1024 else (3 * _TARGET_ELEMS // 8)
-    for wpb in range(1, num_windows + 1):
-        if num_windows % wpb == 0 and wpb * n_tokens * channels <= target:
-            best = wpb
-    return best
+    return _largest_divisor_wpb(num_windows, n_tokens, channels, target)
 
 
 def eligible(dim: int, mlp_ratio: float, dtype) -> bool:
@@ -1039,11 +1042,7 @@ def _bwd_wpb(num_windows: int, n: int, c: int, total_windows: int) -> int:
     holds fp32 dqkv scratch + fp32 weight-grad accumulators beside the
     weights)."""
     target = (_TARGET_ELEMS // 2) if total_windows < 1024 else (_TARGET_ELEMS // 4)
-    best = 1
-    for wpb in range(1, num_windows + 1):
-        if num_windows % wpb == 0 and wpb * n * c <= target:
-            best = wpb
-    return best
+    return _largest_divisor_wpb(num_windows, n, c, target)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))

@@ -9,6 +9,11 @@
 # script is OPTIONAL and only needed to cross-check against the original Java
 # implementations.
 #
+# Layout produced (matches what the jars' manifests expect):
+#   DEST/meteor-1.5.jar          + DEST/data/paraphrase-en.gz
+#   DEST/spice-1.0.jar           + DEST/lib/*.jar (incl. CoreNLP core+models)
+#   DEST/stanford-corenlp-3.6.0.jar (also kept top-level for CORENLP_JAR)
+#
 # Usage: scripts/get_scorer_jars.sh [DEST_DIR]   (default: ./scorer_jars)
 set -e
 
@@ -22,16 +27,21 @@ CORENLP_JAR=stanford-corenlp-3.6.0
 if [ ! -f meteor-1.5.jar ]; then
     echo "Downloading METEOR 1.5..."
     wget -q https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/meteor-1.5.jar
-    wget -q https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/data/paraphrase-en.gz -O paraphrase-en.gz
+    # Meteor resolves its paraphrase table at data/paraphrase-en.gz relative
+    # to the jar directory
+    mkdir -p data
+    wget -q https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/data/paraphrase-en.gz -O data/paraphrase-en.gz
 fi
 
 if [ ! -f spice-1.0.jar ]; then
     echo "Downloading SPICE 1.0..."
     wget -q https://panderson.me/images/SPICE-1.0.zip
-    unzip -q SPICE-1.0.zip "SPICE-1.0/spice-1.0.jar" "SPICE-1.0/lib/*" -d .
-    mv SPICE-1.0/spice-1.0.jar .
-    mv SPICE-1.0/lib ./spice_lib
-    rm -rf SPICE-1.0 SPICE-1.0.zip
+    unzip -q SPICE-1.0.zip -d SPICE-tmp
+    mv SPICE-tmp/SPICE-1.0/spice-1.0.jar .
+    # spice-1.0.jar's manifest Class-Path points at lib/*.jar next to the jar
+    mkdir -p lib
+    mv SPICE-tmp/SPICE-1.0/lib/* lib/
+    rm -rf SPICE-tmp SPICE-1.0.zip
 fi
 
 if [ ! -f "$CORENLP_JAR.jar" ]; then
@@ -40,6 +50,10 @@ if [ ! -f "$CORENLP_JAR.jar" ]; then
     unzip -q "$CORENLP.zip" "$CORENLP/$CORENLP_JAR.jar" "$CORENLP/$CORENLP_JAR-models.jar" -d .
     mv "$CORENLP/$CORENLP_JAR.jar" "$CORENLP/$CORENLP_JAR-models.jar" .
     rm -rf "$CORENLP" "$CORENLP.zip"
+    # SPICE loads the CoreNLP parser models through its lib/ classpath
+    # (reference eval/get_stanford_models.sh does the same move)
+    mkdir -p lib
+    cp "$CORENLP_JAR.jar" "$CORENLP_JAR-models.jar" lib/
 fi
 
 HERE="$(pwd -P)"
