@@ -102,3 +102,34 @@ def test_swin_scan_stage_matches_reference(reference_path):
         want = ref(torch.from_numpy(imgs)).numpy()
     got = np.asarray(swin.swin_apply(params, cfg, imgs.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_window_transition_perm_matches_relayout_chain():
+    """The composed-permutation gather used by the window-resident stages
+    (models/swin.py window_transition_perm) must equal the explicit
+    reverse -> roll -> partition chain for every (from_shift, to_shift) pair
+    the stages use."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    res, window = 24, 12
+    n = window * window
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, res, res, 8), dtype=np.float32))
+
+    def layout(xs, shift):
+        rolled = jnp.roll(xs, (-shift, -shift), axis=(1, 2)) if shift else xs
+        return swin._window_partition(rolled, window)
+
+    def unlayout(w, shift):
+        xs = swin._window_reverse(w, window, res, res)
+        return jnp.roll(xs, (shift, shift), axis=(1, 2)) if shift else xs
+
+    for f, t in itertools.product([0, window // 2], repeat=2):
+        if f == t:
+            continue
+        src = layout(x, f)
+        want = layout(unlayout(src, f), t)
+        got = swin._window_transition(src, 2, res, window, f, t)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
