@@ -138,6 +138,20 @@ class DecodeConfig:
     sample_or_max: str = "max"
     sos_idx: int = 79
     eos_idx: int = 77
+    # Decode-cache length schedule (chunked decode). Per-step decode cost
+    # scales with the cache length L (every step reads/rewrites the full
+    # (B, L, E, d) value caches), but real captions EOS after ~12-20 steps
+    # while the eval CLI must allow the dataset max (74). The beam loop
+    # therefore runs in phases: caches start at chunk_schedule[0] positions
+    # and are zero-padded up to the next chunk only if some beam is still
+    # growing. Positions beyond `pos` are masked either way, so results are
+    # identical up to fp32 reduction order (contractions span the cache
+    # length, so XLA groups the same nonzero terms differently — the same
+    # deviation class as the Pallas step impl; token parity is tested).
+    # None = automatic: single phase for short max_seq_len, (24, 48, ...,
+    # max_seq_len) doubling schedule beyond; (max_seq_len,) disables
+    # chunking. Non-final chunks must be even (see decode/beam_search.py).
+    chunk_schedule: tuple | None = None
 
 
 def swin_large_384() -> SwinConfig:

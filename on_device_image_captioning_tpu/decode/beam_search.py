@@ -36,6 +36,40 @@ class BeamResult(NamedTuple):
     lengths: jnp.ndarray  # (B, how_many_outputs) int32 incl. SOS and EOS
 
 
+def default_chunk_schedule(max_seq_len: int, first: int = 24):
+    """Cache-length schedule for chunked decode: single phase for short
+    budgets (the TRT-style 20-step decode, short tests), else `first` doubled
+    until it reaches max_seq_len. All non-final chunks are even — required
+    for the double-buffered loop body's phase handoff (see beam_loop)."""
+    if max_seq_len <= first + 8:
+        return (max_seq_len,)
+    chunks = []
+    c = first
+    while c < max_seq_len:
+        chunks.append(c + (c % 2))
+        c *= 2
+    chunks.append(max_seq_len)
+    return tuple(chunks)
+
+
+def _grow_caches(state, new_len: int):
+    """Zero-pad every cache leaf's position axis (axis 1) up to new_len.
+    Decode masks positions > pos, so the padding is never read as data — it
+    only raises the step budget of the next phase. (Numerics agree with a
+    full-length phase up to fp32 reduction order: contractions span the
+    cache length, so XLA groups the same nonzero terms differently.)"""
+
+    def pad(a):
+        cur = a.shape[1]
+        if cur >= new_len:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[1] = (0, new_len - cur)
+        return jnp.pad(a, widths)
+
+    return jax.tree.map(pad, state)
+
+
 def _candidates(log_probs, k, sample, rng):
     """Top-k candidates per row, or sample-without-replacement via Gumbel top-k
     (exact equivalent of torch.multinomial(replacement=False) over exp(logp))."""
@@ -56,6 +90,7 @@ def beam_search(
     rng: Optional[jax.Array] = None,
     dtype=None,
     enc_num_pads: Optional[jnp.ndarray] = None,
+    double_buffer: Optional[bool] = None,
 ) -> BeamResult:
     """Single-model beam search. enc_output: (B, S_enc, d_model). Jittable.
 
@@ -66,8 +101,11 @@ def beam_search(
     (the reference expands enc masks beam-wise at
     models/captioning_model.py:239-281)."""
     cache_dtype = dtype if dtype is not None else jnp.float32
+    chunks = decode_cfg.chunk_schedule or default_chunk_schedule(
+        decode_cfg.max_seq_len
+    )
     state = dc.init_state(
-        params, cfg, enc_output, decode_cfg.max_seq_len, cache_dtype,
+        params, cfg, enc_output, chunks[0], cache_dtype,
         enc_num_pads=enc_num_pads,
     )
     b = enc_output.shape[0]
@@ -84,7 +122,10 @@ def beam_search(
         )
         return logp, dc.split_state(new_state)[0]
 
-    return beam_loop(step_fn, muts, b, decode_cfg, rng)
+    return beam_loop(
+        step_fn, muts, b, decode_cfg, rng, double_buffer=double_buffer,
+        chunks=chunks,
+    )
 
 
 def ensemble_beam_search(
@@ -102,10 +143,13 @@ def ensemble_beam_search(
     output per model (each model encodes with its own weights, reference :48-53).
     """
     cache_dtype = dtype if dtype is not None else jnp.float32
+    chunks = decode_cfg.chunk_schedule or default_chunk_schedule(
+        decode_cfg.max_seq_len
+    )
     b = enc_outputs[0].shape[0]
     split = [
         dc.split_state(
-            dc.init_state(p, cfg, e, decode_cfg.max_seq_len, cache_dtype,
+            dc.init_state(p, cfg, e, chunks[0], cache_dtype,
                           enc_num_pads=enc_num_pads)
         )
         for p, e in zip(params_list, enc_outputs)
@@ -128,7 +172,7 @@ def ensemble_beam_search(
         )
         return avg, new_list
 
-    return beam_loop(step_fn, muts_list, b, decode_cfg, rng)
+    return beam_loop(step_fn, muts_list, b, decode_cfg, rng, chunks=chunks)
 
 
 def _gather_rows(state, indices: jnp.ndarray):
@@ -144,6 +188,7 @@ def beam_loop(
     decode_cfg: DecodeConfig,
     rng: Optional[jax.Array] = None,
     double_buffer: Optional[bool] = None,
+    chunks: Optional[Tuple[int, ...]] = None,
 ) -> BeamResult:
     """Core fixed-shape beam loop over an opaque MUTABLE decoder-cache pytree
     whose array leaves all have the flattened (batch*beam) leading axis.
@@ -171,7 +216,22 @@ def beam_loop(
     double_buffer defaults to whether the Pallas dyn-step impl is active —
     the XLA impl ignores the donated buffers, so carrying the spare set
     would just double decode-cache HBM residency; it gets a plain
-    one-step-per-iteration body instead."""
+    one-step-per-iteration body instead.
+
+    chunks: optional increasing cache-length schedule ending at max_seq_len
+    (chunked decode). `state` must be allocated at chunks[0] positions; the
+    loop runs one while_loop per chunk and zero-pads the caches' position
+    axis between phases, so per-step cache traffic scales with the CURRENT
+    chunk, and later (bigger) phases run zero iterations once every beam has
+    stopped growing. Token-identical to a single phase at max_seq_len:
+    positions > pos are masked, and phase boundaries only pause/resume the
+    loop. Non-final chunks must be EVEN under double_buffer: the 2-step body
+    leaves a consistent carry (pending reorder not yet applied to the live
+    cache set) only when the inner condition still held after step 1, which
+    at a phase boundary t == chunk reduces to t being even (t starts at 2
+    and advances by 2, so the inner check t+1 < chunk holds iff chunk is
+    even; an odd boundary would hand phase p+1 a cache set that already
+    applied the pending reorder, double-applying it on resume)."""
     k = decode_cfg.beam_size
     L = decode_cfg.max_seq_len
     sample = decode_cfg.sample_or_max == "sample"
@@ -212,9 +272,12 @@ def beam_loop(
         reorder: jnp.ndarray  # (B*K,) pending beam reshuffle, fused into step
         rng: jax.Array
 
-    def cond(c: Carry):
-        # continue while some beam grew last iteration (reference :397-398)
-        return (c.t < L) & jnp.any(c.num_elem == c.t)
+    def make_cond(t_limit):
+        def cond(c: Carry):
+            # continue while some beam grew last iteration (reference :397-398)
+            return (c.t < t_limit) & jnp.any(c.num_elem == c.t)
+
+        return cond
 
     def substep(c: Carry, dst):
         """One decode step + bookkeeping: returns the t+1 Carry (spare is
@@ -283,35 +346,57 @@ def beam_loop(
             state, c.spare, flat_gather, rng,
         )
 
-    def body(c: Carry):
-        if not double_buffer:
-            # XLA dyn-step impl ignores donated buffers: plain one-step body
-            return substep(c, None)
-        # step 1: reads buffer set A (c.state), writes in place into the dead
-        # set B (c.spare)
-        c1 = substep(c, c.spare)
-        # step 2: reads B, writes back into A (dead once step 1 has run);
-        # bookkeeping keeps step 1's values if the loop should have stopped
-        c2 = substep(c1, c.state)
-        ok = cond(c1)
-        book = jax.tree.map(
-            lambda x2_, x1_: jnp.where(ok, x2_, x1_),
-            (c2.t, c2.tokens, c2.logprobs, c2.cumul, c2.num_elem, c2.finished,
-             c2.reorder, c2.rng),
-            (c1.t, c1.tokens, c1.logprobs, c1.cumul, c1.num_elem, c1.finished,
-             c1.reorder, c1.rng),
-        )
-        t_, tokens_, logprobs_, cumul_, num_elem_, finished_, reorder_, rng_ = book
-        return Carry(
-            t_, tokens_, logprobs_, cumul_, num_elem_, finished_,
-            c2.state, c1.state, reorder_, rng_,
-        )
+    def make_body(cond):
+        def body(c: Carry):
+            if not double_buffer:
+                # XLA dyn-step impl ignores donated buffers: plain one-step body
+                return substep(c, None)
+            # step 1: reads buffer set A (c.state), writes in place into the
+            # dead set B (c.spare)
+            c1 = substep(c, c.spare)
+            # step 2: reads B, writes back into A (dead once step 1 has run);
+            # bookkeeping keeps step 1's values if the loop should have stopped
+            c2 = substep(c1, c.state)
+            ok = cond(c1)
+            book = jax.tree.map(
+                lambda x2_, x1_: jnp.where(ok, x2_, x1_),
+                (c2.t, c2.tokens, c2.logprobs, c2.cumul, c2.num_elem,
+                 c2.finished, c2.reorder, c2.rng),
+                (c1.t, c1.tokens, c1.logprobs, c1.cumul, c1.num_elem,
+                 c1.finished, c1.reorder, c1.rng),
+            )
+            (t_, tokens_, logprobs_, cumul_, num_elem_, finished_, reorder_,
+             rng_) = book
+            return Carry(
+                t_, tokens_, logprobs_, cumul_, num_elem_, finished_,
+                c2.state, c1.state, reorder_, rng_,
+            )
 
-    init = Carry(
+        return body
+
+    if chunks is None:
+        chunks = (L,)
+    assert chunks[-1] == L and tuple(chunks) == tuple(sorted(set(chunks))), (
+        f"chunk schedule {chunks} must increase to max_seq_len={L}"
+    )
+    if double_buffer:
+        assert all(c % 2 == 0 for c in chunks[:-1]), (
+            f"non-final chunks must be even under double_buffer: {chunks}"
+        )
+    out = Carry(
         jnp.int32(2), tokens, logprobs, cumul, num_elem, finished, state, spare,
         jnp.arange(b * k, dtype=jnp.int32), rng,
     )
-    out = jax.lax.while_loop(cond, body, init)
+    for i, chunk in enumerate(chunks):
+        if i:
+            grown = _grow_caches(out.state, chunk)
+            out = out._replace(
+                state=grown,
+                spare=jax.tree.map(jnp.zeros_like, grown) if double_buffer
+                else (),
+            )
+        cond = make_cond(chunk)
+        out = jax.lax.while_loop(cond, make_body(cond), out)
 
     # ---- final ranking: length-normalized cumulative logprob (reference :400-417)
     norm = out.cumul / out.num_elem.astype(jnp.float32)

@@ -301,3 +301,84 @@ def test_beam_search_parity_fuzz(reference_path, seed, dyn_impl):
     finally:
         dc.set_dyn_step_impl("xla")
     assert got_caps == ref_caps, (seed, sos, eos, beam, max_len, dyn_impl)
+
+
+@pytest.mark.parametrize("dyn_impl", ["xla", "pallas"])
+def test_chunked_beam_parity(tiny_params, dyn_impl):
+    """Chunked decode (growing cache-length schedule) must be token-identical
+    to a single full-length phase — positions beyond `pos` are masked, so the
+    cache length is only a step budget. Exercises both step impls (the Pallas
+    one also covers the double-buffered ping-pong across phase boundaries).
+    Logprobs agree up to fp32 reduction order: contractions span the padded
+    cache length, so XLA groups the (identical) nonzero terms differently."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((3, 7, TINY.img_feature_dim), dtype=np.float32)
+    cross = cap.forward_enc(tiny_params, TINY, feats)
+    base = DecodeConfig(
+        beam_size=3, how_many_outputs=3, max_seq_len=17, sos_idx=2, eos_idx=3,
+        chunk_schedule=(17,),
+    )
+    chunked = dataclasses.replace(base, chunk_schedule=(6, 10, 17))
+    dc.set_dyn_step_impl(dyn_impl)
+    try:
+        r0 = jax.jit(lambda p, c: bs.beam_search(p, TINY, c, base))(
+            tiny_params, cross
+        )
+        r1 = jax.jit(lambda p, c: bs.beam_search(p, TINY, c, chunked))(
+            tiny_params, cross
+        )
+    finally:
+        dc.set_dyn_step_impl("xla")
+    caps0, lps0 = bs.captions_from_result(r0)
+    caps1, lps1 = bs.captions_from_result(r1)
+    assert caps0 == caps1
+    np.testing.assert_allclose(
+        np.concatenate([np.concatenate(r) for r in lps0]),
+        np.concatenate([np.concatenate(r) for r in lps1]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_default_chunk_schedule():
+    assert bs.default_chunk_schedule(20) == (20,)
+    assert bs.default_chunk_schedule(32) == (32,)
+    assert bs.default_chunk_schedule(74) == (24, 48, 74)
+    assert bs.default_chunk_schedule(100) == (24, 48, 96, 100)
+    # non-final chunks always even (double-buffer phase-handoff requirement)
+    for L in range(33, 200, 7):
+        sched = bs.default_chunk_schedule(L)
+        assert sched[-1] == L and all(c % 2 == 0 for c in sched[:-1])
+        assert tuple(sorted(set(sched))) == sched
+
+
+@pytest.mark.parametrize("chunks", [None, (6, 10, 17)])
+def test_double_buffer_parity(tiny_params, chunks):
+    """ADVICE r2: the double_buffer=True two-step body (fixed-role A/B
+    donation) must produce identical tokens to the plain one-step body, on
+    the same inputs, under the Pallas step impl."""
+    import dataclasses
+
+    rng = np.random.default_rng(13)
+    feats = rng.standard_normal((2, 6, TINY.img_feature_dim), dtype=np.float32)
+    cross = cap.forward_enc(tiny_params, TINY, feats)
+    dcfg = DecodeConfig(
+        beam_size=3, how_many_outputs=3, max_seq_len=17, sos_idx=2, eos_idx=3,
+        chunk_schedule=chunks,
+    )
+    if chunks is None:
+        dcfg = dataclasses.replace(dcfg, chunk_schedule=(17,))
+    dc.set_dyn_step_impl("pallas")
+    try:
+        r_db = jax.jit(
+            lambda p, c: bs.beam_search(p, TINY, c, dcfg, double_buffer=True)
+        )(tiny_params, cross)
+        r_nb = jax.jit(
+            lambda p, c: bs.beam_search(p, TINY, c, dcfg, double_buffer=False)
+        )(tiny_params, cross)
+    finally:
+        dc.set_dyn_step_impl("xla")
+    caps_db, _ = bs.captions_from_result(r_db)
+    caps_nb, _ = bs.captions_from_result(r_nb)
+    assert caps_db == caps_nb
