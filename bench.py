@@ -9,7 +9,13 @@ onnx4tensorrt/End_ExpansionNet_v2_onnx_tensorrt.py:10-11).
 vs_baseline compares against the reference's published single-image GPU latency of
 1.753 s/image (benchmarking/plotting.py:42) => 0.5704 images/sec.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The line also carries the second half of BASELINE.json's metric — p50 latency
+per caption — measured at the reference's own latency configuration (ONE image,
+beam 5, full L=74 budget, benchmarking/plotting.py:42), each call synced
+through the tunnel like a real single-image request.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"p50_latency_per_caption_s", "p50_config", "p50_vs_baseline_x"}.
 """
 from __future__ import annotations
 
@@ -118,18 +124,49 @@ def main():
 
     best = min(pipelined, min(times))
     images_per_sec = batch / best
+
+    # ---- p50 latency per caption: 1 image, beam 5, L=74 — the reference's
+    # single-image latency config (benchmarking/plotting.py:42, 1.753 s).
+    # Random weights never EOS, so this decodes the FULL 72-step budget
+    # (worst case; real checkpoints exit after ~12-20 steps).
+    p50 = None
+    if os.environ.get("BENCH_P50", "1") != "0":
+        dcfg1 = DecodeConfig(beam_size=5, how_many_outputs=1, max_seq_len=74)
+
+        @jax.jit
+        def caption_one(params, images_u8, rng):
+            x = normalize_on_device(images_u8)
+            enc = end_to_end.forward_enc(params, cfg, x)
+            res = bs.beam_search(
+                dequantize_tree(params["captioner"]), cfg.captioner, enc,
+                dcfg1, rng=rng, dtype=cfg.compute_dtype,
+            )
+            return res.tokens, res.lengths
+
+        one = images[:1]
+        t1, _ = caption_one(params, one, rng)
+        jax.device_get(t1)  # compile+warm
+        lat = []
+        for _ in range(max(2 * iters, 10)):
+            t0 = time.perf_counter()
+            t1, _ = caption_one(params, one, rng)
+            jax.device_get(t1)
+            lat.append(time.perf_counter() - t0)
+        p50 = float(np.median(lat))
+
     suffix = "" if quant == "none" else f"_{quant}"
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_e2e_swinL384_beam%d_b%d%s"
-                % (beam, batch, suffix),
-                "value": round(images_per_sec, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "images_per_sec_e2e_swinL384_beam%d_b%d%s"
+        % (beam, batch, suffix),
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }
+    if p50 is not None:
+        line["p50_latency_per_caption_s"] = round(p50, 4)
+        line["p50_config"] = "1 image, beam 5, max_seq_len 74, full decode"
+        line["p50_vs_baseline_x"] = round(1.753 / p50, 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
