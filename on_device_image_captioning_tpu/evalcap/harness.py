@@ -10,10 +10,29 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
+import warnings
+
 from .bleu import compute_bleu
 from .cider import compute_cider
 from .rouge import compute_rouge
 from .tokenizer import tokenize_captions
+
+_NATIVE_NOTICE_SHOWN = set()
+
+
+def _native_notice(metric: str, jar_env: str, deviation: str) -> None:
+    """One-time runtime notice when a native fallback scorer produces a
+    standard metric name, so its numbers aren't compared against published
+    jar-scored figures unawares (r2 advice)."""
+    if metric in _NATIVE_NOTICE_SHOWN:
+        return
+    _NATIVE_NOTICE_SHOWN.add(metric)
+    warnings.warn(
+        f"{metric}: using the NATIVE scorer ({jar_env} not set). "
+        f"{deviation} Scores can read slightly lower than the Java "
+        f"scorer's; set {jar_env} for jar-exact numbers.",
+        stacklevel=3,
+    )
 
 
 class CocoEvalCap:
@@ -61,6 +80,12 @@ class CocoEvalCap:
             else:
                 from .meteor_native import NativeMeteorScorer
 
+                _native_notice(
+                    "METEOR", "METEOR_JAR",
+                    "Matcher runs exact/stem/embedded-synonym stages; the "
+                    "jar's full WordNet + paraphrase-table stages are "
+                    "unavailable offline.",
+                )
                 scorer = NativeMeteorScorer()
             score, per_img = scorer.compute(gts, res)
             scorer.close()
@@ -77,6 +102,12 @@ class CocoEvalCap:
             else:
                 from .spice_native import NativeSpiceScorer
 
+                _native_notice(
+                    "SPICE", "SPICE_JAR",
+                    "Scene graphs come from the lexicon parser with "
+                    "lemma/stem/embedded-synonym tuple matching, not "
+                    "CoreNLP parsing + WordNet synsets.",
+                )
                 scorer = NativeSpiceScorer()
             score, per_img = scorer.compute(gts, res)
             self._set("SPICE", score, img_ids, per_img)

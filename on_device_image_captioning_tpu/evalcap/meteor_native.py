@@ -6,11 +6,18 @@ eval/meteor/meteor.py:25-111), an external binary absent from the snapshot
 self-contained reimplementation of the METEOR algorithm (Denkowski & Lavie,
 "Meteor Universal", WACV 2014) with the 1.5 English-task configuration:
 
-- matcher stages: exact (weight 1.0) and Porter-stem (weight 0.6). The jar's
-  two data-file stages — WordNet synonymy (0.8) and the paraphrase table
-  (0.6) — require external resources the snapshot doesn't carry either; their
-  absence makes this scorer a slight UNDER-estimate of jar METEOR (typically a
-  few tenths of a point on COCO-scale corpora). Documented, not hidden.
+- matcher stages: exact (weight 1.0), Porter-stem (weight 0.6), and synonym
+  (weight 0.8) over an EMBEDDED caption-domain synonym table (below) standing
+  in for the jar's WordNet stage — this environment carries neither the jar
+  nor the WordNet corpus. The table covers the high-frequency COCO/VizWiz
+  caption vocabulary (people, vehicles, furniture, animals, common verbs and
+  adjectives), so the residual deviation vs the jar is (a) WordNet pairs
+  outside the table and (b) the paraphrase-table stage (weight 0.6, ~100 MB
+  data file) — both make this scorer a slight UNDER-estimate of jar METEOR.
+  Documented, not hidden; the mechanics (alignment, weighting, penalty) are
+  cross-validated against nltk.translate.meteor_score in
+  tests/test_meteor.py, including the synonym stage via a stub WordNet
+  backed by the same table.
 - parameters (-l en): alpha=0.85, beta=0.2, gamma=0.6, delta=0.75;
   Fmean = P*R / (alpha*P + (1-alpha)*R); Pen = gamma * (chunks/matches)^beta;
   segment score = (1 - Pen) * Fmean.
@@ -27,6 +34,7 @@ self-contained reimplementation of the METEOR algorithm (Denkowski & Lavie,
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -37,6 +45,166 @@ GAMMA = 0.6
 DELTA = 0.75
 WEIGHT_EXACT = 1.0
 WEIGHT_STEM = 0.6
+WEIGHT_SYNONYM = 0.8
+
+# Caption-domain synonym table: each group plays the role of one WordNet
+# synset (two words match the synonym stage iff they share a group — the same
+# shared-synset test the jar runs). Curated for the COCO/VizWiz caption
+# vocabulary; a word may appear in several groups (e.g. 'bike' ~ bicycle and
+# ~ motorcycle), mirroring WordNet's polysemy.
+SYNONYM_GROUPS = tuple(
+    frozenset(g.split())
+    for g in (
+        # people
+        "man guy gentleman fellow bloke",
+        "woman lady gal",
+        "person individual someone somebody human",
+        "child kid youngster tyke tot",
+        "boy lad",
+        "girl lass",
+        "baby infant babe newborn",
+        "crowd throng multitude",
+        "group bunch cluster",
+        # animals
+        "dog canine pooch hound",
+        "puppy pup",
+        "cat feline kitty",
+        "kitten kitty",
+        "horse steed equine",
+        "cow bovine",
+        "bird fowl",
+        "rabbit bunny hare",
+        "pig hog swine",
+        "sheep lamb ewe",
+        # vehicles
+        "car automobile auto vehicle motorcar",
+        "bicycle bike cycle",
+        "motorcycle motorbike bike moped",
+        "bus autobus coach omnibus",
+        "taxi cab taxicab",
+        "truck lorry",
+        "airplane plane aircraft aeroplane jet",
+        "boat ship vessel watercraft",
+        "train locomotive railcar",
+        # household / furniture
+        "couch sofa settee lounge",
+        "television tv telly",
+        "refrigerator fridge icebox",
+        "carpet rug carpeting",
+        "curtain drape drapery",
+        "restroom bathroom washroom lavatory toilet loo",
+        "trash garbage rubbish waste refuse",
+        "cup mug",
+        "plate dish platter",
+        "bag sack pouch",
+        "purse handbag pocketbook",
+        "couch divan",
+        "lamp light",
+        "photo photograph picture pic snapshot",
+        "image picture",
+        "store shop market",
+        "home house residence dwelling",
+        "kitchen galley",
+        "sidewalk pavement walkway",
+        "road street roadway",
+        "sign signboard placard",
+        "phone telephone cellphone smartphone mobile",
+        "laptop notebook computer",
+        "display screen monitor",
+        # food
+        "food meal cuisine fare",
+        "slice piece wedge",
+        "sandwich sub hoagie",
+        "dessert sweet pudding",
+        "soda pop cola",
+        "doughnut donut",
+        "hotdog frankfurter wiener",
+        "fries chips",
+        "pasta noodles",
+        # clothing
+        "trousers pants slacks jeans",
+        "shirt top blouse",
+        "jacket coat blazer",
+        "hat cap beanie",
+        "shoes sneakers trainers footwear",
+        "glasses spectacles eyeglasses sunglasses shades",
+        "scarf muffler",
+        # scene / nature
+        "ocean sea",
+        "forest woods woodland",
+        "mountain mount peak",
+        "rock stone boulder",
+        "grass lawn turf",
+        "field meadow pasture",
+        "beach shore seashore seaside coast",
+        "river stream creek brook",
+        "hill knoll mound",
+        "sky heavens",
+        "snow snowfall",
+        "rain rainfall",
+        # verbs (caption-frequent)
+        "sit seated sitting",
+        "stand standing upright",
+        "walk stroll amble saunter",
+        "run sprint dash jog",
+        "jump leap bound hop",
+        "ride riding",
+        "hold grip grasp clutch carry",
+        "eat consume devour dine",
+        "drink sip gulp",
+        "look gaze stare peer glance watch",
+        "talk speak chat converse",
+        "smile grin beam",
+        "laugh giggle chuckle",
+        "throw toss hurl fling pitch",
+        "catch grab snatch",
+        "cut slice chop carve",
+        "cook prepare",
+        "play frolic",
+        "sleep doze nap snooze slumber",
+        "begin start commence",
+        "end finish stop terminate",
+        "fly soar glide",
+        "turn rotate spin twirl",
+        "pull tug drag haul",
+        "push shove",
+        "wear don sport",
+        "shut closed",
+        "near close nearby",
+        "beside alongside",
+        # adjectives
+        "big large sizable",
+        "huge enormous immense vast gigantic giant massive",
+        "small little tiny petite miniature",
+        "fast quick rapid speedy swift",
+        "slow sluggish",
+        "happy glad joyful cheerful merry",
+        "sad unhappy sorrowful gloomy",
+        "pretty beautiful lovely attractive gorgeous handsome",
+        "ugly unattractive hideous",
+        "old aged elderly ancient",
+        "new fresh novel",
+        "young youthful juvenile",
+        "clean spotless tidy neat",
+        "dirty filthy grimy soiled",
+        "wet damp moist soggy",
+        "dry arid parched",
+        "cold chilly frigid freezing",
+        "hot scorching sweltering",
+        "bright brilliant luminous shiny",
+        "dark dim gloomy murky",
+        "empty vacant bare",
+        "full filled crowded packed",
+        "many numerous several various",
+        "colorful vibrant vivid",
+    )
+)
+
+_SYN_IDS: Dict[str, frozenset] = {}
+for _gid, _group in enumerate(SYNONYM_GROUPS):
+    for _w in _group:
+        _SYN_IDS[_w] = _SYN_IDS.get(_w, frozenset()) | {_gid}
+_NO_SYN: frozenset = frozenset()
 
 # Standard English closed-class (function) words: determiners, pronouns,
 # prepositions, conjunctions, auxiliaries, particles. Stand-in for the jar's
@@ -109,6 +277,7 @@ def _ends_cvc(word: str) -> bool:
     return False
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def porter_stem(word: str) -> str:
     if len(word) <= 2:
         return word
@@ -203,27 +372,54 @@ def porter_stem(word: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
-    """One-to-one matches (hyp_idx, ref_idx, stage_weight), exact stage first,
-    then stem stage over leftovers. Ties resolved by preferring the ref
-    position that continues the previous match's run (chunk minimization)."""
+def _align(
+    hyp: List[str],
+    ref: List[str],
+    stage_weights: Tuple[float, ...] = (
+        WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYNONYM,
+    ),
+    synonyms: Dict[str, frozenset] = None,
+) -> List[Tuple[int, int, float]]:
+    """One-to-one matches (hyp_idx, ref_idx, stage_weight): exact stage,
+    then stem, then synonym (shared synonym-group test) over leftovers — the
+    jar's module order (reference eval/meteor/meteor.py:41-51 runs
+    exact/stem/synonym/paraphrase at 1.0/0.6/0.8/0.6; the paraphrase data
+    file is not embeddable). Ties resolved by preferring the ref position
+    that continues the previous match's run (chunk minimization).
+
+    stage_weights: per-stage match weights; pass 2 entries to disable the
+    synonym stage, or all-1.0 for METEOR 1.0 mechanics (the nltk
+    cross-validation). synonyms: word -> group-id sets (defaults to the
+    embedded caption-domain table)."""
+    if synonyms is None:
+        synonyms = _SYN_IDS
     matches: List[Tuple[int, int, float]] = []
     hyp_used = [False] * len(hyp)
     ref_used = [False] * len(ref)
 
-    for keyer, weight in (
-        (lambda t: t, WEIGHT_EXACT),
-        (porter_stem, WEIGHT_STEM),
-    ):
+    def key_stage(keyer):
         ref_keys = [keyer(t) for t in ref]
+        return lambda tok: [
+            j for j, rk in enumerate(ref_keys)
+            if rk == keyer(tok) and not ref_used[j]
+        ]
+
+    def syn_stage():
+        ref_ids = [synonyms.get(t, _NO_SYN) for t in ref]
+        return lambda tok: [
+            j for j, rid in enumerate(ref_ids)
+            if (rid & synonyms.get(tok, _NO_SYN)) and not ref_used[j]
+        ]
+
+    stage_cands = [key_stage(lambda t: t), key_stage(porter_stem), syn_stage()]
+    for cand_fn, weight in zip(stage_cands, stage_weights):
         prev_ref = -2
         for i, tok in enumerate(hyp):
             if hyp_used[i]:
                 prev = [m for m in matches if m[0] == i]
                 prev_ref = prev[0][1] if prev else prev_ref
                 continue
-            key = keyer(tok)
-            cands = [j for j, rk in enumerate(ref_keys) if rk == key and not ref_used[j]]
+            cands = cand_fn(tok)
             if not cands:
                 continue
             # prefer a candidate adjacent to the previous matched ref position
@@ -246,8 +442,8 @@ def _count_chunks(matches: List[Tuple[int, int, float]]) -> int:
     return chunks
 
 
-def _word_weight(tok: str) -> float:
-    return (1.0 - DELTA) if tok in FUNCTION_WORDS else DELTA
+def _word_weight(tok: str, delta: float = DELTA) -> float:
+    return (1.0 - delta) if tok in FUNCTION_WORDS else delta
 
 
 class _Stats:
@@ -255,12 +451,18 @@ class _Stats:
 
     __slots__ = ("w_hyp", "w_ref", "wm_hyp", "wm_ref", "chunks", "matches")
 
-    def __init__(self, hyp: List[str], ref: List[str]):
-        m = _align(hyp, ref)
-        self.w_hyp = sum(_word_weight(t) for t in hyp)
-        self.w_ref = sum(_word_weight(t) for t in ref)
-        self.wm_hyp = sum(w * _word_weight(hyp[i]) for i, _, w in m)
-        self.wm_ref = sum(w * _word_weight(ref[j]) for _, j, w in m)
+    def __init__(self, hyp: List[str], ref: List[str], delta: float = DELTA,
+                 stage_weights=None, synonyms=None):
+        kw = {}
+        if stage_weights is not None:
+            kw["stage_weights"] = stage_weights
+        if synonyms is not None:
+            kw["synonyms"] = synonyms
+        m = _align(hyp, ref, **kw)
+        self.w_hyp = sum(_word_weight(t, delta) for t in hyp)
+        self.w_ref = sum(_word_weight(t, delta) for t in ref)
+        self.wm_hyp = sum(w * _word_weight(hyp[i], delta) for i, _, w in m)
+        self.wm_ref = sum(w * _word_weight(ref[j], delta) for _, j, w in m)
         self.matches = len(m)
         # NOTE: no special-casing of full contiguous covers — METEOR applies
         # the fragmentation penalty even to verbatim matches (chunks=1), a
@@ -283,25 +485,35 @@ class _Stats:
         return (1.0 - gamma * frag**beta) * fmean
 
 
-def _segment_stats(hyp: str, refs: Sequence[str]) -> _Stats:
+def _segment_stats(
+    hyp: str, refs: Sequence[str], alpha=None, beta=None, gamma=None,
+    delta: float = DELTA, stage_weights=None, synonyms=None,
+) -> _Stats:
     h = hyp.split()
     best = None
     for ref in refs:
-        s = _Stats(h, ref.split())
-        if best is None or s.score() > best.score():
+        s = _Stats(h, ref.split(), delta, stage_weights, synonyms)
+        if best is None or s.score(alpha, beta, gamma) > best.score(
+            alpha, beta, gamma
+        ):
             best = s
     return best
 
 
 def meteor_score(
-    hyp: str, refs: Sequence[str], alpha=None, beta=None, gamma=None
+    hyp: str, refs: Sequence[str], alpha=None, beta=None, gamma=None,
+    delta: float = DELTA, stage_weights=None, synonyms=None,
 ) -> float:
     """Segment-level METEOR of one hypothesis against its references.
 
-    alpha/beta/gamma default to the METEOR 1.5 English-task values; pass e.g.
-    (0.9, 3, 0.5) for the METEOR 1.0 parameterization (what nltk implements —
-    the mechanics-validation tests compare against it)."""
-    return _segment_stats(hyp, refs).score(alpha, beta, gamma)
+    alpha/beta/gamma default to the METEOR 1.5 English-task values; pass
+    (0.9, 3, 0.5) with delta=0.5 (uniform word weights) and
+    stage_weights=(1.0, 1.0, 1.0) for the METEOR 1.0 parameterization (what
+    nltk implements — the mechanics-validation tests compare against it).
+    stage_weights of length 2 disables the synonym stage."""
+    return _segment_stats(
+        hyp, refs, alpha, beta, gamma, delta, stage_weights, synonyms
+    ).score(alpha, beta, gamma)
 
 
 class NativeMeteorScorer:

@@ -36,8 +36,11 @@ Pipeline (captions arrive lowercase PTB-tokenized from the harness):
    jar's "All.f" output feeds through the reference harness.
 
 Documented deviation: the jar matches tuples through WordNet synsets; with no
-WordNet corpus in this environment, matching here is exact on lemmas with a
-Porter-stem fallback (evalcap/meteor_native.porter_stem), which is stricter —
+WordNet corpus in this environment, matching here is exact on lemmas, then a
+Porter-stem fallback (evalcap/meteor_native.porter_stem), then element-wise
+shared-synonym-group equivalence over the embedded caption-domain table
+(meteor_native.SYNONYM_GROUPS). WordNet pairs outside that table still miss,
+which is stricter —
 native scores read slightly lower than jar scores on the same captions.
 """
 from __future__ import annotations
@@ -46,7 +49,7 @@ from typing import Dict, FrozenSet, List, NamedTuple, Sequence, Tuple
 
 import numpy as np
 
-from .meteor_native import porter_stem
+from .meteor_native import _NO_SYN, _SYN_IDS, porter_stem
 
 # --------------------------------------------------------------------------
 # Lexicons
@@ -454,36 +457,75 @@ def _stem_key(t: Tuple[str, ...]) -> Tuple[str, ...]:
     return tuple(" ".join(porter_stem(w) for w in part.split()) for part in t)
 
 
-def _f1(cand: FrozenSet[Tuple[str, ...]], ref: FrozenSet[Tuple[str, ...]]):
+def _words_match(a: str, b: str) -> bool:
+    """Word equivalence for tuple matching: exact, Porter-stem, or shared
+    caption-domain synonym group (meteor_native.SYNONYM_GROUPS standing in
+    for the jar's WordNet synsets, reference eval/spice/spice.py:80-98)."""
+    if a == b or porter_stem(a) == porter_stem(b):
+        return True
+    return bool(_SYN_IDS.get(a, _NO_SYN) & _SYN_IDS.get(b, _NO_SYN))
+
+
+def _tuples_match(ta: Tuple[str, ...], tb: Tuple[str, ...]) -> bool:
+    if len(ta) != len(tb):
+        return False
+    for pa, pb in zip(ta, tb):
+        wa, wb = pa.split(), pb.split()
+        if len(wa) != len(wb) or not all(
+            _words_match(x, y) for x, y in zip(wa, wb)
+        ):
+            return False
+    return True
+
+
+def _f1(
+    cand: FrozenSet[Tuple[str, ...]],
+    ref: FrozenSet[Tuple[str, ...]],
+    synonyms: bool = True,
+):
     if not cand or not ref:
         return 0.0, 0.0, 0.0
     exact = cand & ref
-    # stem-fallback matching for the remainder (the jar's WordNet-synset
-    # stage, approximated) — one-to-one on stem keys
-    rem_c = {t for t in cand if t not in exact}
-    rem_r_keys = {}
-    for t in ref - exact:
-        rem_r_keys.setdefault(_stem_key(t), []).append(t)
+    rem_c = sorted(cand - exact)
+    rem_r = sorted(ref - exact)
     matched = len(exact)
-    for t in sorted(rem_c):
-        key = _stem_key(t)
-        if rem_r_keys.get(key):
-            rem_r_keys[key].pop()
+    # stem-fallback matching for the remainder — one-to-one on stem keys
+    rem_r_keys = {}
+    for t in rem_r:
+        rem_r_keys.setdefault(_stem_key(t), []).append(t)
+    still_c = []
+    for t in rem_c:
+        lst = rem_r_keys.get(_stem_key(t))
+        if lst:
+            rem_r.remove(lst.pop())
             matched += 1
+        else:
+            still_c.append(t)
+    # synonym stage over the leftovers: element-wise shared-synonym-group
+    # tuple equivalence (the jar's WordNet-synset stage over the embedded
+    # caption-domain table; one-to-one greedy)
+    if synonyms:
+        for t in still_c:
+            for u in rem_r:
+                if _tuples_match(t, u):
+                    rem_r.remove(u)
+                    matched += 1
+                    break
     p = matched / len(cand)
     r = matched / len(ref)
     f = 0.0 if p + r == 0 else 2 * p * r / (p + r)
     return f, p, r
 
 
-def spice_score(candidate: str, refs: Sequence[str]) -> float:
+def spice_score(candidate: str, refs: Sequence[str], synonyms: bool = True) -> float:
     """Per-image SPICE F1 of the candidate against the union of the refs'
-    scene-graph tuples (arXiv:1607.08822 eq. 5-7)."""
+    scene-graph tuples (arXiv:1607.08822 eq. 5-7). synonyms=False disables
+    the synonym tuple-matching stage (used to quantify its contribution)."""
     cand = parse_scene_graph(candidate).tuples()
     ref_tuples: set = set()
     for r in refs:
         ref_tuples |= parse_scene_graph(r).tuples()
-    f, _, _ = _f1(cand, frozenset(ref_tuples))
+    f, _, _ = _f1(cand, frozenset(ref_tuples), synonyms)
     return f
 
 

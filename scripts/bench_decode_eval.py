@@ -112,6 +112,54 @@ def main():
                 flush=True,
             )
 
+    # ---- eval workload: EVERY beam EOSes by ~step K (what trained
+    # checkpoints do on COCO — captions run 10-20 tokens), emulated by
+    # boosting the EOS logit once pos >= K. Uses the production beam_loop /
+    # dec_step wiring; only the logit override is benchmark-local.
+    from on_device_image_captioning_tpu.decode import cache as dc
+
+    def decode_forced(schedule, k_stop):
+        dcfg = DecodeConfig(
+            beam_size=3, how_many_outputs=1, max_seq_len=L,
+            sos_idx=cfg.sos_idx, eos_idx=7, chunk_schedule=schedule,
+        )
+
+        @jax.jit
+        def fn(p, e):
+            state = dc.init_state(p, cfg, e, schedule[0], jnp.bfloat16)
+            muts, static = dc.split_state(state)
+
+            def step_fn(m, tokens, pos, reorder=None, group=1, dst=None):
+                st = dc.merge_state(m, static)
+                logp, ns = dc.dec_step(
+                    p, cfg, st, tokens, pos, jnp.bfloat16, reorder=reorder,
+                    group=group, prev=dst,
+                )
+                is_eos_col = (
+                    jax.lax.broadcasted_iota(jnp.int32, logp.shape, 1) == 7
+                )
+                logp = jnp.where((pos >= k_stop) & is_eos_col, 1e3, logp)
+                return logp, dc.split_state(ns)[0]
+
+            res = bs.beam_loop(
+                step_fn, muts, e.shape[0], dcfg, rng=rng, chunks=schedule
+            )
+            return res.tokens[..., :1], res.lengths
+
+        return fn
+
+    for name, sched in schedules.items():
+        for k_stop in (18,):
+            fn = decode_forced(sched, k_stop)
+            _, lens = fn(params, enc)
+            mean_len = float(np.asarray(lens).mean())
+            t = timed(fn, params, enc, iters=iters)
+            print(
+                f"b{batch} beam3 L{L} {name:18s} all-EOS@{k_stop}: "
+                f"{t:8.2f} ms   mean caption len {mean_len:5.1f}",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()

