@@ -1051,10 +1051,16 @@ def swin_block_fused_train(x, p, bias, mask, m1, m2, heads, num_windows, scale, 
     VMEM). x: (B*nW, n, c) window-partitioned input; p: DENSE block params;
     bias: (H, n, n) materialized relative-position bias (its table gradient
     flows through the caller's gather); mask: (nW, n, n) shift mask or None;
-    m1/m2: (strips, 1) f32 per-strip stochastic-depth scales (0 or 1/keep —
-    reference models/swin_transformer_mod.py:25-40). Returns the block output;
-    the VJP recomputes internals in two fused kernels (attention-half over
-    window strips, MLP-half over flat rows) from the saved (x, x2)."""
+    m1/m2: (fwd strips, 1) f32 stochastic-depth scales (0 or 1/keep —
+    reference models/swin_transformer_mod.py:25-40). CONTRACT: the scales
+    must be constant per image (the drop-path semantics; how every caller
+    builds them, models/swin.py dp_scale). The backward re-tiles them to its
+    own independent strip size by reading each backward strip's first
+    window, which is only correct under that constancy — a genuinely
+    per-strip m1/m2 would silently produce wrong gradients when the strip
+    sizes don't nest. Returns the block output; the VJP recomputes internals
+    in two fused kernels (attention-half over window strips, MLP-half over
+    flat rows) from the saved (x, x2)."""
     y, _ = _train_fwd_call(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps)
     return y
 
@@ -1081,7 +1087,11 @@ def _train_bwd_rule(heads, num_windows, scale, eps, res, dy):
         x2.reshape(rows, c), dy.reshape(rows, c), p, m2_rows, eps, rpp
     )
     wpb = _bwd_wpb(num_windows, n, c, bw)
-    # m1 was built per FORWARD strip; re-tile it to the backward strip size
+    # m1 was built per FORWARD strip; re-tile to the backward strip size by
+    # reading each backward strip's FIRST window. Forward and backward strip
+    # sizes are independent divisors of num_windows (they need not nest), so
+    # this is correct only because m1 is constant per image (the kernels'
+    # documented contract) and strips never straddle an image boundary.
     fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
     m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
     m1_bwd = m1_per_window[::wpb]
@@ -1217,9 +1227,11 @@ def swin_attn_half_fused_train(x, p, bias, mask, m1, heads, num_windows, scale, 
     attention-half weights fit VMEM but the full block set doesn't. x:
     (B*nW, n, c) window-partitioned; p: {'norm1', 'attn': {'qkv', 'proj'}}
     (dense); bias: (H, n, n) materialized rel-pos bias (table grad flows
-    through the caller's gather); m1: (fwd strips, 1) f32 per-strip
-    stochastic-depth scales. The VJP recomputes the attention internals from
-    the saved x with the full-block VJP's backward kernel."""
+    through the caller's gather); m1: (fwd strips, 1) f32 stochastic-depth
+    scales — must be constant per image (see swin_block_fused_train's
+    CONTRACT note; the backward re-tiles across its own strip size). The
+    VJP recomputes the attention internals from the saved x with the
+    full-block VJP's backward kernel."""
     return _attn_half_train_fwd_call(
         x, p, bias, mask, m1, heads, num_windows, scale, eps
     )
@@ -1236,6 +1248,8 @@ def _attn_half_train_bwd_rule(heads, num_windows, scale, eps, res, dy):
     x, p, bias, mask, m1 = res
     bw, n, c = x.shape
     wpb = _bwd_wpb(num_windows, n, c, bw)
+    # per-backward-strip re-tile: valid because m1 is constant per image
+    # (documented contract — see _train_bwd_rule's note)
     fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
     m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
     m1_bwd = m1_per_window[::wpb]

@@ -9,6 +9,12 @@
 # script is OPTIONAL and only needed to cross-check against the original Java
 # implementations.
 #
+# Integrity: every download is sha256-verified against scripts/scorer_jars.sha256
+# (the jars are EXECUTED by the scorers, so a tampered mirror would mean
+# arbitrary code execution). If the pin file has no entry yet, the checksum is
+# computed, appended, and reported — pin on a trusted network once, then every
+# later fetch (and every other machine using the committed pin file) verifies.
+#
 # Layout produced (matches what the jars' manifests expect):
 #   DEST/meteor-1.5.jar          + DEST/data/paraphrase-en.gz
 #   DEST/spice-1.0.jar           + DEST/lib/*.jar (incl. CoreNLP core+models)
@@ -18,24 +24,47 @@
 set -e
 
 DEST="${1:-scorer_jars}"
+PINS="$(cd "$(dirname "$0")" && pwd -P)/scorer_jars.sha256"
 mkdir -p "$DEST"
 cd "$DEST"
+
+# fetch_verified URL FILENAME — download + sha256-check against the pin file
+fetch_verified() {
+    url="$1"; out="$2"
+    wget -q "$url" -O "$out"
+    sum="$(sha256sum "$out" | cut -d' ' -f1)"
+    pinned="$(grep -E "  $out\$" "$PINS" 2>/dev/null | cut -d' ' -f1 || true)"
+    if [ -z "$pinned" ]; then
+        echo "$sum  $out" >> "$PINS"
+        echo "PINNED (first fetch — verify out-of-band): $sum  $out"
+    elif [ "$sum" != "$pinned" ]; then
+        rm -f "$out"
+        echo "CHECKSUM MISMATCH for $out: got $sum, pinned $pinned" >&2
+        echo "Refusing to install a jar that does not match the pin." >&2
+        exit 1
+    fi
+}
 
 CORENLP=stanford-corenlp-full-2015-12-09
 CORENLP_JAR=stanford-corenlp-3.6.0
 
 if [ ! -f meteor-1.5.jar ]; then
     echo "Downloading METEOR 1.5..."
-    wget -q https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/meteor-1.5.jar
+    fetch_verified \
+        https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/meteor-1.5.jar \
+        meteor-1.5.jar
     # Meteor resolves its paraphrase table at data/paraphrase-en.gz relative
     # to the jar directory
     mkdir -p data
-    wget -q https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/data/paraphrase-en.gz -O data/paraphrase-en.gz
+    fetch_verified \
+        https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/data/paraphrase-en.gz \
+        paraphrase-en.gz
+    mv paraphrase-en.gz data/paraphrase-en.gz
 fi
 
 if [ ! -f spice-1.0.jar ]; then
     echo "Downloading SPICE 1.0..."
-    wget -q https://panderson.me/images/SPICE-1.0.zip
+    fetch_verified https://panderson.me/images/SPICE-1.0.zip SPICE-1.0.zip
     unzip -q SPICE-1.0.zip -d SPICE-tmp
     mv SPICE-tmp/SPICE-1.0/spice-1.0.jar .
     # spice-1.0.jar's manifest Class-Path points at lib/*.jar next to the jar
@@ -46,7 +75,7 @@ fi
 
 if [ ! -f "$CORENLP_JAR.jar" ]; then
     echo "Downloading Stanford CoreNLP (PTB tokenizer + SPICE models)..."
-    wget -q "http://nlp.stanford.edu/software/$CORENLP.zip"
+    fetch_verified "https://nlp.stanford.edu/software/$CORENLP.zip" "$CORENLP.zip"
     unzip -q "$CORENLP.zip" "$CORENLP/$CORENLP_JAR.jar" "$CORENLP/$CORENLP_JAR-models.jar" -d .
     mv "$CORENLP/$CORENLP_JAR.jar" "$CORENLP/$CORENLP_JAR-models.jar" .
     rm -rf "$CORENLP" "$CORENLP.zip"
