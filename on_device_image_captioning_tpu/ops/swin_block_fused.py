@@ -124,17 +124,25 @@ def _linear(x, w_ref, b_ref):
 
 
 def _erf(x):
-    """fp32 erf (Abramowitz & Stegun 7.1.26, |err| < 1.5e-7) — Mosaic has no
-    erf/erfc primitive, so exact-GeLU builds on exp instead."""
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    """fp32 erf (Abramowitz & Stegun 7.1.28, |err| <= 3e-7) — Mosaic has no
+    erf/erfc primitive. This form is EXP-FREE: a degree-6 polynomial, four
+    squarings for ^16, one reciprocal — the transcendental exp of the
+    former 7.1.26 form cost ~1.2 ms/block at Swin-L stage 0 b32 (measured;
+    see STATUS round-3). Overflow of y^16 at |x| >~ 15 saturates through
+    inf -> 1/inf = 0 -> erf = +-1, which is the correct limit."""
+    a1, a2, a3, a4, a5, a6 = (
+        0.0705230784, 0.0422820123, 0.0092705272,
+        0.0001520143, 0.0002765672, 0.0000430638,
     )
-    p = 0.3275911
     s = jnp.sign(x)
     ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    y = 1.0 + ax * (
+        a1 + ax * (a2 + ax * (a3 + ax * (a4 + ax * (a5 + ax * a6))))
+    )
+    y2 = y * y
+    y4 = y2 * y2
+    y8 = y4 * y4
+    return s * (1.0 - 1.0 / (y8 * y8))
 
 
 def _gelu_exact(x):
@@ -183,11 +191,21 @@ def _attention_rows(
             s = s + bias_ref[h]
             if mask_ref is not None:
                 s = s + mask_ref[w]
-            p = jax.nn.softmax(s, axis=-1)
-            attn_scr[row0 : row0 + n, col : col + dk] = jax.lax.dot_general(
-                p.astype(v.dtype), v,
+            # softmax with the normalization FOLDED PAST the value dot:
+            # (e / sum) @ v == (e @ v) * (1 / sum). The divide moves from the
+            # lane-padded (n, 256) score matrix to the (n, dk) output — one
+            # fewer full-width VPU pass per head (n=144 pads to 256 lanes,
+            # so elementwise passes on scores run at 56% lane utilization).
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            ev = jax.lax.dot_general(
+                e.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            )
+            attn_scr[row0 : row0 + n, col : col + dk] = (
+                ev * (1.0 / denom)
             ).astype(attn_scr.dtype)
 
 
