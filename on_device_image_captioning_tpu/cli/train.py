@@ -83,6 +83,16 @@ def parse_args(argv=None):
     p.add_argument("--print_every_iter", type=int, default=10)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--bf16", action="store_true")
+    # Swin geometry (defaults = Swin-L/384, matching the reference's
+    # end-to-end model; overridable for small configs — same surface as the
+    # evaluate/generate_features CLIs)
+    p.add_argument("--swin_img_size", type=int, default=384)
+    p.add_argument("--swin_patch_size", type=int, default=4)
+    p.add_argument("--swin_embed_dim", type=int, default=192)
+    p.add_argument("--swin_depths", type=int, nargs="+", default=[2, 2, 18, 2])
+    p.add_argument("--swin_num_heads", type=int, nargs="+",
+                   default=[6, 12, 24, 48])
+    p.add_argument("--swin_window_size", type=int, default=12)
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the Swin blocks (the reference's "
                         "swin_use_checkpoint flag)")
@@ -138,16 +148,25 @@ def build_model_cfg(args, vocab, max_seq_len):
         img_feature_dim=args.img_feature_dim,
     )
     if args.is_end_to_end:
+        from ..config import SwinConfig
+
         cfg = end_expansionnet_v2_coco(
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
         )
+        swin = SwinConfig(
+            img_size=args.swin_img_size, patch_size=args.swin_patch_size,
+            embed_dim=args.swin_embed_dim, depths=tuple(args.swin_depths),
+            num_heads=tuple(args.swin_num_heads),
+            window_size=args.swin_window_size,
+            drop_path_rate=cfg.swin.drop_path_rate,
+            attention_impl=getattr(args, "swin_attention_impl", "xla"),
+        )
         cfg = dataclasses.replace(
             cfg,
-            captioner=cap,
-            swin=dataclasses.replace(
-                cfg.swin,
-                attention_impl=getattr(args, "swin_attention_impl", "xla"),
+            captioner=dataclasses.replace(
+                cap, img_feature_dim=swin.num_features
             ),
+            swin=swin,
         )
         return remove_layers(cfg, args.param_config)
     if args.param_config:  # features-in variant of the layer-removal ablations
@@ -226,13 +245,26 @@ def main(argv=None):
                 loaded["captioner"], args.param_config
             )
         params = loaded
+    def _subtree(src, name):
+        """Checkpoint may hold the full end-to-end tree or just the subtree
+        (recipe phases alternate model kinds — reference README.md:117-259:
+        phase 5 seeds the features model from the phase-3/4 end-to-end
+        checkpoint's body, phase 6 seeds end-to-end from phase 5's)."""
+        return src[name] if isinstance(src, dict) and name in src else src
+
     for partial_path, subtree in [
         (args.backbone_save_path, "swin"),
         (args.body_save_path, "captioner"),
     ]:
         if partial_path and end2end:
             src = load_params(partial_path, cfg)
-            params = surgery.partially_load(params, {subtree: src[subtree]})
+            params = surgery.partially_load(
+                params, {subtree: _subtree(src, subtree)}
+            )
+    if args.body_save_path and not end2end:
+        # features-model run warm-started from a checkpoint (possibly the
+        # end-to-end tree: take its captioner)
+        params = _subtree(load_params(args.body_save_path, None), "captioner")
 
     # ---- optimizer --------------------------------------------------------
     import optax
@@ -265,6 +297,22 @@ def main(argv=None):
 
     phase = "rf" if args.reinforce else "xe"
     payload, info = ckpt.load_most_recent(args.save_path, verbose=True)
+    if payload is not None and (
+        jax.tree_util.tree_structure(payload["params"])
+        != jax.tree_util.tree_structure(state.params)
+    ):
+        # recipe phases alternate features-only and end-to-end models in one
+        # save dir (reference README.md:117-259); a checkpoint from the other
+        # model kind can't seed this one — keep the warm-started weights
+        # (--backbone_save_path/--body_save_path handle the cross-phase
+        # handoff, reference train.py:554-597)
+        print(
+            "most recent checkpoint holds a different model tree "
+            "(features-only vs end-to-end); starting from warm-start/init "
+            "weights instead",
+            flush=True,
+        )
+        payload = None
     if payload is not None:
         restored_params = payload["params"]  # relistified natural pytree
         same_phase = info == phase

@@ -72,12 +72,16 @@ def _grow_caches(state, new_len: int):
 
 def _candidates(log_probs, k, sample, rng):
     """Top-k candidates per row, or sample-without-replacement via Gumbel top-k
-    (exact equivalent of torch.multinomial(replacement=False) over exp(logp))."""
+    (exact equivalent of torch.multinomial(replacement=False) over exp(logp)).
+    The vocab-wide top-k routes through the Pallas iterative-max kernel when
+    enabled (ops/topk.py; tie-breaks identical to lax.top_k)."""
+    from ..ops.topk import topk
+
     if not sample:
-        vals, idx = jax.lax.top_k(log_probs, k)
+        vals, idx = topk(log_probs, k)
         return vals, idx
     g = jax.random.gumbel(rng, log_probs.shape, dtype=log_probs.dtype)
-    _, idx = jax.lax.top_k(log_probs + g, k)
+    _, idx = topk(log_probs + g, k)
     vals = jnp.take_along_axis(log_probs, idx, axis=-1)
     return vals, idx
 

@@ -120,9 +120,14 @@ _DYN_STEP_IMPL = "xla"
 
 
 def set_dyn_step_impl(impl: str) -> None:
+    """One knob for the Pallas decode path: the fused dyn-expansion step AND
+    the vocab-wide candidate top-k (ops/topk.py) follow it together."""
     global _DYN_STEP_IMPL
     assert impl in ("xla", "pallas"), impl
     _DYN_STEP_IMPL = impl
+    from ..ops.topk import set_topk_impl
+
+    set_topk_impl(impl)
 
 
 def init_state(

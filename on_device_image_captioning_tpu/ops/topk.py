@@ -1,0 +1,89 @@
+"""Pallas TPU top-k for the beam-search candidate stage.
+
+The decode hot loop runs jax.lax.top_k over the (B*beams, vocab) step
+log-probs every token (decode/beam_search._candidates — the reference's
+torch.topk at models/captioning_model.py:303-320). XLA lowers small-k top-k
+on TPU through a partial-sort network over the padded 10k-lane rows; for
+k <= 8 an iterative max-and-mask scan (k passes of lane-reduce max + argmax
++ mask) touches the row k times with no sorting machinery, entirely in VMEM.
+
+Tie-breaking matches lax.top_k exactly (equal values -> lowest index first),
+so beam choices are bit-identical; see tests/test_pallas_ops.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# keep each row block comfortably under VMEM alongside its f32 working copy
+_TARGET_ELEMS = 1 << 19
+
+
+def _kernel(x_ref, vals_ref, idx_ref, *, k: int, V: int):
+    vals = x_ref[:].astype(jnp.float32)
+    r = vals.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r, V), 1)
+    neg = jnp.float32(-jnp.inf)
+    for j in range(k):
+        m = jnp.max(vals, axis=-1, keepdims=True)
+        # lowest index among the maxima (lax.top_k's tie-break)
+        idx = jnp.min(jnp.where(vals == m, iota, V), axis=-1, keepdims=True)
+        vals_ref[:, j] = m[:, 0].astype(vals_ref.dtype)
+        idx_ref[:, j] = idx[:, 0]
+        vals = jnp.where(iota == idx, neg, vals)
+
+
+def _rows_per_block(rows: int, V: int) -> int:
+    best = 1
+    for rpb in range(1, rows + 1):
+        if rows % rpb == 0 and rpb * V <= _TARGET_ELEMS:
+            best = rpb
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_pallas(x: jnp.ndarray, k: int):
+    """x: (R, V) — returns (vals (R, k) of x.dtype, idx (R, k) int32),
+    sorted descending, ties broken toward the lower index (== lax.top_k)."""
+    rows, V = x.shape
+    rpb = _rows_per_block(rows, V)
+    grid = (rows // rpb,)
+    return pl.pallas_call(
+        functools.partial(_kernel, k=k, V=V),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rpb, V), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((rpb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, k), x.dtype),
+            jax.ShapeDtypeStruct((rows, k), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+
+
+# process-wide impl toggle, mirroring decode.cache.set_dyn_step_impl
+_TOPK_IMPL = "xla"
+
+
+def set_topk_impl(impl: str) -> None:
+    global _TOPK_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _TOPK_IMPL = impl
+
+
+def topk(x: jnp.ndarray, k: int):
+    """lax.top_k-compatible; routes wide rows through the Pallas kernel when
+    the pallas impl is selected (narrow rows stay on lax — the kernel's win
+    is only the vocab-wide candidate stage)."""
+    if _TOPK_IMPL == "pallas" and x.ndim == 2 and x.shape[-1] >= 1024 and k <= 8:
+        return topk_pallas(x, k)
+    return jax.lax.top_k(x, k)

@@ -338,3 +338,42 @@ def test_dyn_exp_pallas_matches_xla_under_reorders():
         dc.set_dyn_step_impl("xla")
     for t, (a, bse) in enumerate(zip(got, base)):
         np.testing.assert_allclose(a, bse, rtol=2e-5, atol=2e-5, err_msg=f"pos {t}")
+
+
+def test_topk_pallas_matches_lax():
+    """Iterative-max Pallas top-k must equal lax.top_k bit-for-bit, including
+    the lowest-index-first tie-break (beam choices depend on it)."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.ops.topk import topk_pallas
+
+    rng = np.random.default_rng(0)
+    for rows, v, k in [(6, 2048, 3), (8, 10000, 5), (5, 4096, 1), (96, 1500, 3)]:
+        x = rng.standard_normal((rows, v)).astype(np.float32)
+        # inject duplicates (incl. of the max) to exercise tie-breaking
+        x[:, 100] = x[:, 7]
+        x[:, 200] = x.max(axis=1)
+        x[:, 900] = x.max(axis=1)
+        got_v, got_i = topk_pallas(jnp.asarray(x), k)
+        want_v, want_i = jax.lax.top_k(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_topk_routing():
+    """topk() only routes wide rows to the kernel under the pallas impl."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.decode.cache import set_dyn_step_impl
+    from on_device_image_captioning_tpu.ops import topk as tk
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 2048)),
+                    jnp.float32)
+    set_dyn_step_impl("pallas")
+    try:
+        got = tk.topk(x, 3)
+        want = jax.lax.top_k(x, 3)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    finally:
+        set_dyn_step_impl("xla")
