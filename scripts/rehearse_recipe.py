@@ -103,13 +103,34 @@ def make_data(data_dir: str, n_train: int, n_val: int, n_test: int):
           flush=True)
 
 
+FORCE_CPU = False
+
+
 def run(tag, args_list, env=None):
     t0 = time.time()
     e = dict(os.environ)
     if env:
         e.update(env)
+    if FORCE_CPU:
+        # the axon TPU plugin ignores JAX_PLATFORMS=cpu from the environment;
+        # only jax.config.update BEFORE backend init pins the platform, so the
+        # tiny smoke launches the CLI through a shim (a tunnel compile per
+        # tiny phase would be minutes each — and killing in-flight tunnel
+        # clients wedges the device)
+        import json as _json
+
+        mod, argv = args_list[0], args_list[1:]
+        code = (
+            "import sys, json, runpy, jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            f"sys.argv = ['python'] + json.loads({_json.dumps(_json.dumps(argv))})\n"
+            f"runpy.run_module({mod!r}, run_name='__main__')\n"
+        )
+        cmd = [sys.executable, "-c", code]
+    else:
+        cmd = [sys.executable, "-m"] + args_list
     proc = subprocess.run(
-        [sys.executable, "-m"] + args_list, cwd=REPO, env=e,
+        cmd, cwd=REPO, env=e,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     dt = time.time() - t0
@@ -150,7 +171,8 @@ def main():
         a.train, a.val, a.test = 24, 4, 4
         tiny_model = TINY_CAP + TINY_SWIN
         tiny_feat = TINY_CAP + ["--img_feature_dim", "32"]
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        global FORCE_CPU
+        FORCE_CPU = True
     if a.fresh and os.path.isdir(a.saves):
         shutil.rmtree(a.saves)
     os.makedirs(a.saves, exist_ok=True)
