@@ -444,10 +444,12 @@ def main(argv=None):
                 pm.local_rows(sampled.tokens), pm.local_rows(sampled.lengths),
                 batch["img_idxs"], vocab,
             )
+            step_rng, sub2 = jax.random.split(step_rng)
             state, metrics = scst_step(
                 state, arrays,
                 {"tokens": sampled.tokens, "lengths": sampled.lengths},
                 pm.shard_batch(jnp.asarray(rewards), mesh),
+                sub2,
             )
             running.append(float(metrics["reward"]))
 

@@ -98,13 +98,21 @@ def make_scst_step(
     num_samples: int,
     remat: bool = False,
 ) -> Callable:
-    """Returns step(state, batch, sampled, rewards) -> (state, metrics).
+    """Returns step(state, batch, sampled, rewards, rng) -> (state, metrics).
 
     `sampled`: {'tokens': (B, N, L+1) from decode.sampling (SOS + caption),
     'lengths': (B, N) index of first EOS}; `rewards`: (B, N) CIDEr scores computed
     on host between the sampling call and this step. The teacher-forced re-score
-    reproduces the sampling logprobs exactly (same decoder), giving the REINFORCE
-    gradient without differentiating the decode loop.
+    runs the same decoder over the sampled captions, giving the REINFORCE
+    gradient without differentiating the decode loop. Like the reference, the
+    model runs in TRAIN mode here (reference train.py:124-172 backprops
+    through its sampling forward with the module in train(), dropout active);
+    with the recipe's nonzero SCST dropout the re-scored logprobs are a
+    dropout draw around the sampling logprobs — the same-gradient-in-
+    expectation REINFORCE estimator — and with dropout 0 they reproduce the
+    sampling logprobs exactly. Train mode also routes the backbone through
+    the fused-train custom-VJP kernels (the inference kernels are not
+    differentiable).
     """
     if end_to_end_model:
         model_cfg: ModelConfig = cfg
@@ -112,19 +120,24 @@ def make_scst_step(
     else:
         cap_cfg: CaptionerConfig = cfg
 
-    def loss_fn(params, batch, sampled, rewards):
+    def loss_fn(params, batch, sampled, rewards, rng):
         tokens = sampled["tokens"]  # (B, N, L+1)
         lengths = sampled["lengths"]  # (B, N)
         b, n, lp1 = tokens.shape
         flat = tokens.reshape(b * n, lp1)
+        rng_enc, rng_dec = (
+            jax.random.split(rng) if rng is not None else (None, None)
+        )
         if end_to_end_model:
             enc = end_to_end.forward_enc(
-                params, model_cfg, batch["enc_input"], train=False, remat=remat
+                params, model_cfg, batch["enc_input"], rng=rng_enc,
+                train=True, remat=remat,
             )
         else:
             enc = cap.forward_enc(
                 params, cap_cfg, batch["enc_input"],
-                enc_num_pads=batch.get("enc_num_pads"),
+                enc_num_pads=batch.get("enc_num_pads"), rng=rng_enc,
+                train=True,
             )
         enc_rep = jnp.repeat(enc, n, axis=0)
         enc_pads = batch.get("enc_num_pads")
@@ -132,6 +145,7 @@ def make_scst_step(
             params["captioner"] if end_to_end_model else params,
             cap_cfg, enc_rep, flat[:, :-1], apply_log_softmax=True,
             enc_num_pads=None if enc_pads is None else jnp.repeat(enc_pads, n, axis=0),
+            rng=rng_dec, train=True,
             dtype=(model_cfg.compute_dtype if end_to_end_model else None),
         )  # (B*N, L, V)
         step_lp = jnp.take_along_axis(logits, flat[:, 1:, None], axis=-1)[..., 0]
@@ -144,9 +158,9 @@ def make_scst_step(
         loss = scst_loss(step_lp, rewards, baselines)
         return loss, (rewards.mean(), baselines.mean(), step_lp.sum(-1).mean())
 
-    def step(state: TrainState, batch, sampled, rewards):
+    def step(state: TrainState, batch, sampled, rewards, rng=None):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sampled, rewards
+            state.params, batch, sampled, rewards, rng
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -110,10 +110,11 @@ def main():
         key, sub = jax.random.split(key)
         sampled = sample_batch(state.params, images, sub)
         rewards = host_reward(sampled)
+        key, sub2 = jax.random.split(key)
         state, metrics = scst_step(
             state, {"enc_input": images},
             {"tokens": sampled.tokens, "lengths": sampled.lengths},
-            jnp.asarray(rewards),
+            jnp.asarray(rewards), sub2,
         )
         return state, metrics, key
 
@@ -138,7 +139,8 @@ def main():
     st = state
     t0 = time.perf_counter()
     for _ in range(iters):
-        st, metrics = scst_step(st, {"enc_input": images}, sd, rw)
+        st, metrics = scst_step(st, {"enc_input": images}, sd, rw,
+                                jax.random.PRNGKey(3))
     jax.device_get(metrics["loss"])
     t_grad = (time.perf_counter() - t0) / iters
 
@@ -161,10 +163,11 @@ def main():
         key, sub = jax.random.split(key)
         nxt = sample_batch(state.params, images, sub)  # enqueue ahead
         rewards = host_reward(pending)
+        key, sub2 = jax.random.split(key)
         state, metrics = scst_step(
             state, {"enc_input": images},
             {"tokens": pending.tokens, "lengths": pending.lengths},
-            jnp.asarray(rewards),
+            jnp.asarray(rewards), sub2,
         )
         pending = nxt
     jax.device_get(metrics["loss"])
