@@ -985,6 +985,246 @@ def _attn_bwd_no_mask(
     )
 
 
+def _attn_bwd_emit_kernel(
+    x_ref, dx2_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    bias_ref, m1_ref, mask_ref,
+    dx_ref,  # out (wpb, n, c)
+    dg1_ref,  # out (1, c) f32 accumulated
+    dbe1_ref,  # out (1, c) f32
+    dbias_ref,  # out (H, n, n) f32
+    xn1_ref,  # out (wpb, n, c) cd — LN1 rows (dWqkv operand)
+    attn_ref,  # out (wpb, n, c) cd — attention rows (dWproj operand)
+    dqkv_ref,  # out (wpb, n, 3c) cd — per-row qkv grads
+    attn_scr,  # scratch (wpb*n, c) cd
+    *,
+    heads: int,
+    n: int,
+    wpb: int,
+    scale: float,
+    eps: float,
+):
+    """Emit variant of _attn_bwd_kernel for stages whose f32 weight-grad
+    accumulators don't fit scoped VMEM beside the weights (c=768: bf16
+    weights 4.5 MB + dWqkv/dWproj accums 9.4 MB + dbias 2 MB ~ 16-20 MB;
+    observed OOM at 20.07M vs the 16M budget on a fresh compile). Instead of
+    accumulating dW in-kernel, emit the per-row GEMM operands (LN1 rows,
+    attention rows, dqkv rows); the caller forms dWqkv/dWproj/db* as two
+    large row-major XLA GEMMs + row sums — bigger, cleaner MXU work than
+    per-strip accumulation, at the cost of streaming the intermediates
+    through HBM (~70 MB per stage-2 block call at b16; ~3 ms/step total)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        dg1_ref[:] = jnp.zeros_like(dg1_ref)
+        dbe1_ref[:] = jnp.zeros_like(dbe1_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    c = x_ref.shape[-1]
+    dk = c // heads
+    rows = wpb * n
+    x = x_ref[:].reshape(rows, c)
+    cd = x.dtype
+
+    # recompute forward internals (same discipline as _attn_bwd_kernel)
+    xhat, rstd = _ln_stats(x, eps)
+    xn1 = (xhat * g1_ref[:] + b1_ref[:]).astype(cd)
+    xn1_ref[:] = xn1.reshape(wpb, n, c)
+    qkv = _linear(xn1, wqkv_ref, bqkv_ref)
+    _attention_rows(
+        qkv, attn_scr, bias_ref, mask_ref,
+        heads=heads, n=n, wpb=wpb, c=c, scale=scale,
+    )
+    attn_ref[:] = attn_scr[:].reshape(wpb, n, c)
+
+    m1 = m1_ref[i, 0]
+    dx2 = dx2_ref[:].reshape(rows, c).astype(jnp.float32)
+    dproj = (dx2 * m1).astype(cd)
+    dao = jax.lax.dot_general(
+        dproj, wproj_ref[:].astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, c) f32
+
+    for w in range(wpb):
+        row0 = w * n
+        for h in range(heads):
+            col = h * dk
+            q = qkv[row0 : row0 + n, col : col + dk] * scale
+            k = qkv[row0 : row0 + n, c + col : c + col + dk]
+            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias_ref[h]
+            if mask_ref is not None:
+                s = s + mask_ref[w]
+            p = jax.nn.softmax(s, axis=-1)  # (n, n) f32
+            p_cd = p.astype(cd)
+            dao_h = dao[row0 : row0 + n, col : col + dk].astype(cd)
+            dp = jax.lax.dot_general(
+                dao_h, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dbias_ref[h] += ds
+            ds_cd = ds.astype(cd)
+            dq = jax.lax.dot_general(
+                ds_cd, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk_ = jax.lax.dot_general(
+                ds_cd, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv = jax.lax.dot_general(
+                p_cd, dao_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[w, :, col : col + dk] = dq.astype(cd)
+            dqkv_ref[w, :, c + col : c + col + dk] = dk_.astype(cd)
+            dqkv_ref[w, :, 2 * c + col : 2 * c + col + dk] = dv.astype(cd)
+
+    dqkv_cd = dqkv_ref[:].reshape(rows, 3 * c)
+    dxn1 = jax.lax.dot_general(
+        dqkv_cd, wqkv_ref[:].astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, c)
+    dx_ln, dgamma, dbeta = _ln_bwd(dxn1, xhat, rstd, g1_ref)
+    dg1_ref[:] += dgamma
+    dbe1_ref[:] += dbeta
+    dx_ref[:] = (dx2 + dx_ln).astype(dx_ref.dtype).reshape(wpb, n, c)
+
+
+def _attn_bwd_emit_no_mask(
+    x_ref, dx2_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref,
+    dx_ref, dg1, dbe1, dbias, xn1_ref, attn_ref, dqkv_ref, attn_scr,
+    *, heads, n, wpb, scale, eps,
+):
+    _attn_bwd_emit_kernel(
+        x_ref, dx2_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref,
+        None, dx_ref, dg1, dbe1, dbias, xn1_ref, attn_ref, dqkv_ref,
+        attn_scr, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )
+
+
+def _attn_bwd_resident_bytes(c: int, heads: int, n: int, itemsize: int) -> int:
+    """Scoped-VMEM resident estimate of the ACCUMULATING backward kernel:
+    bf16 weights + f32 dW accumulators + f32 dbias."""
+    weights = (c * 3 * c + c * c) * itemsize
+    accums = (c * 3 * c + c * c) * 4
+    return weights + accums + heads * n * n * 4
+
+
+def _attn_bwd_call_emit(
+    x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, wpb
+):
+    """Emit-variant driver: returns (dx, dwqkv, dbqkv, dwproj, dbproj, dg1,
+    dbe1, dbias) like _attn_bwd_call, forming the weight grads as XLA GEMMs
+    over the kernel-emitted rows."""
+    bw, n, c = x.shape
+    mask_blocks = num_windows // wpb
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["w"].astype(x.dtype), _bias_of(p["attn"]["qkv"], 3 * c),
+        p["attn"]["proj"]["w"].astype(x.dtype), _bias_of(p["attn"]["proj"], c),
+    ]
+    strip = lambda: pl.BlockSpec(
+        (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        strip(), strip(),
+        *[const(w.shape) for w in weights],
+        const((heads, n, n)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [x, dx2, *weights, bias.astype(jnp.float32), m1s]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _attn_bwd_emit_kernel, heads=heads, n=n, wpb=wpb, scale=scale,
+            eps=eps,
+        )
+    else:
+        kernel = functools.partial(
+            _attn_bwd_emit_no_mask, heads=heads, n=n, wpb=wpb, scale=scale,
+            eps=eps,
+        )
+    cd = x.dtype
+    dx, dg1, dbe1, dbias, xn1_r, attn_r, dqkv_r = pl.pallas_call(
+        kernel,
+        grid=(bw // wpb,),
+        in_specs=in_specs,
+        out_specs=[
+            strip(),
+            const((1, c)), const((1, c)), const((heads, n, n)),
+            strip(),
+            strip(),
+            pl.BlockSpec(
+                (wpb, n, 3 * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((bw, n, c), cd),
+            jax.ShapeDtypeStruct((bw, n, c), cd),
+            jax.ShapeDtypeStruct((bw, n, 3 * c), cd),
+        ],
+        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+    rows = bw * n
+    xn1_f = xn1_r.reshape(rows, c)
+    dqkv_f = dqkv_r.reshape(rows, 3 * c)
+    # per-row drop-path scale: m1s is per backward strip of wpb windows
+    m1_rows = jnp.repeat(m1s, wpb * n, axis=0)  # (rows, 1)
+    dproj = (dx2.reshape(rows, c).astype(jnp.float32) * m1_rows).astype(cd)
+    dwqkv = jax.lax.dot_general(
+        xn1_f, dqkv_f, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv = jnp.sum(dqkv_f.astype(jnp.float32), axis=0, keepdims=True)
+    dwproj = jax.lax.dot_general(
+        attn_r.reshape(rows, c), dproj,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbproj = jnp.sum(dproj.astype(jnp.float32), axis=0, keepdims=True)
+    return dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias
+
+
+def _attn_bwd_dispatch(
+    x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, wpb
+):
+    """Route the attention-half backward: in-kernel dW accumulation when the
+    resident set fits scoped VMEM (stages 0/1), the emit variant otherwise
+    (stage 2 — see _attn_bwd_emit_kernel)."""
+    _, n, c = x.shape
+    resident = _attn_bwd_resident_bytes(
+        c, heads, n, jnp.dtype(x.dtype).itemsize
+    )
+    call = _attn_bwd_call_emit if resident > 11 * 1024 * 1024 else _attn_bwd_call
+    return call(x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, wpb)
+
+
 def _attn_bwd_call(x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, wpb):
     bw, n, c = x.shape
     mask_blocks = num_windows // wpb
@@ -1113,7 +1353,7 @@ def _train_bwd_rule(heads, num_windows, scale, eps, res, dy):
     fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
     m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
     m1_bwd = m1_per_window[::wpb]
-    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_call(
+    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_dispatch(
         x, dx2_flat.reshape(bw, n, c), p, bias, mask, m1_bwd,
         heads, num_windows, scale, eps, wpb,
     )
@@ -1271,7 +1511,7 @@ def _attn_half_train_bwd_rule(heads, num_windows, scale, eps, res, dy):
     fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
     m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
     m1_bwd = m1_per_window[::wpb]
-    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_call(
+    dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_dispatch(
         x, dy, p, bias, mask, m1_bwd, heads, num_windows, scale, eps, wpb
     )
 

@@ -201,3 +201,65 @@ def test_fused_train_block_bf16_grads_close():
             np.asarray(b, np.float32), np.asarray(a, np.float32),
             rtol=0.15, atol=0.05, err_msg=str(path),
         )
+
+
+def test_attn_bwd_emit_matches_accumulate():
+    """The emit-variant attention backward (weight grads as XLA GEMMs over
+    kernel-emitted rows — used at stage-2 size where the f32 dW accumulators
+    overflow scoped VMEM) must match the in-kernel-accumulation variant."""
+    from on_device_image_captioning_tpu.models.swin import (
+        relative_position_index, shift_attn_mask,
+    )
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    rng = np.random.default_rng(3)
+    window, heads, c = 4, 4, 32
+    n = window * window
+    num_windows = 4  # 8x8 grid of 4x4 windows per image
+    bw = 2 * num_windows
+    wpb = 2
+    p, _ = _block_inputs(0)
+    pa = {
+        "norm1": p["norm1"],
+        "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]},
+    }
+    # tiny stage-0 params are c=16/heads=2; rebuild a c=32 block instead
+    init = swin.swin_init(
+        jax.random.PRNGKey(1),
+        dataclasses.replace(TINY, embed_dim=32, num_heads=(4, 8)),
+    )
+    p32 = init["stages"][0]["blocks"][0]
+    pa = {
+        "norm1": p32["norm1"],
+        "attn": {"qkv": p32["attn"]["qkv"], "proj": p32["attn"]["proj"]},
+    }
+    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+    bias = jnp.take(p32["attn"]["rel_bias"], idx, axis=0).reshape(n, n, heads)
+    bias = bias.transpose(2, 0, 1).astype(jnp.float32)
+    mask = jnp.asarray(
+        shift_attn_mask(8, window, window // 2), jnp.float32
+    )
+    x = jnp.asarray(rng.standard_normal((bw, n, c)), jnp.float32)
+    dx2 = jnp.asarray(rng.standard_normal((bw, n, c)), jnp.float32)
+    m1s = jnp.asarray(
+        rng.choice([0.0, 1.25], size=(bw // wpb, 1)), jnp.float32
+    )
+    common = (x, dx2, pa, bias, None, m1s, heads, num_windows, 1.0 / 8, 1e-5,
+              wpb)
+    base = sbf._attn_bwd_call(*common)
+    emit = sbf._attn_bwd_call_emit(*common)
+    names = ["dx", "dwqkv", "dbqkv", "dwproj", "dbproj", "dg1", "dbe1",
+             "dbias"]
+    for nm, a, b in zip(names, base, emit):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=nm
+        )
+    # shifted-mask variant too
+    common = (x, dx2, pa, bias, mask, m1s, heads, num_windows, 1.0 / 8, 1e-5,
+              wpb)
+    base = sbf._attn_bwd_call(*common)
+    emit = sbf._attn_bwd_call_emit(*common)
+    for nm, a, b in zip(names, base, emit):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=nm
+        )
