@@ -795,6 +795,140 @@ def _mlp_bwd_kernel(
     dx2_ref[:] = (dy_ref[:].astype(jnp.float32) + dx2_ln).astype(dx2_ref.dtype)
 
 
+def _mlp_bwd_emit_kernel(
+    x2_ref,  # (rpp, c)
+    dy_ref,  # (rpp, c)
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    m2_ref,  # (blocks, 1) f32 SMEM
+    dx2_ref,  # out (rpp, c)
+    dg2_ref,  # out (1, c) f32 accumulated
+    dbe2_ref,  # out (1, c) f32
+    xn2_ref,  # out (rpp, c) cd — LN2 rows (dW1 operand)
+    g_ref,  # out (rpp, hidden) cd — GeLU rows (dW2 operand)
+    dh1_ref,  # out (rpp, hidden) cd — hidden grads
+    *,
+    eps: float,
+):
+    """Emit variant of _mlp_bwd_kernel (see _attn_bwd_emit_kernel): at
+    stage-2 size the f32 dW1/dW2 accumulators (9.4 MB each) blow scoped VMEM
+    beside the 9.4 MB of bf16 weights (observed 18.00M vs the 16M budget);
+    emit the per-row GEMM operands and form dW1/dW2 outside as XLA GEMMs."""
+    x2 = x2_ref[:]
+    cd = x2.dtype
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _zero():
+        dg2_ref[:] = jnp.zeros_like(dg2_ref)
+        dbe2_ref[:] = jnp.zeros_like(dbe2_ref)
+
+    xhat, rstd = _ln_stats(x2, eps)
+    xn2 = (xhat * g2_ref[:] + b2_ref[:]).astype(cd)
+    xn2_ref[:] = xn2
+    h1 = jnp.dot(
+        xn2, wfc1_ref[:].astype(cd), preferred_element_type=jnp.float32
+    ) + bfc1_ref[:].astype(jnp.float32)
+    g = _gelu_exact(h1).astype(cd)
+    g_ref[:] = g
+
+    m2 = m2_ref[j, 0]
+    dmlp = (dy_ref[:].astype(jnp.float32) * m2).astype(cd)
+    dg = jax.lax.dot_general(
+        dmlp, wfc2_ref[:].astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rpp, hidden)
+    dh1 = (dg * _gelu_grad(h1)).astype(cd)
+    dh1_ref[:] = dh1
+    dxn2 = jax.lax.dot_general(
+        dh1, wfc1_ref[:].astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rpp, c)
+    dx2_ln, dgamma, dbeta = _ln_bwd(dxn2, xhat, rstd, g2_ref)
+    dg2_ref[:] += dgamma
+    dbe2_ref[:] += dbeta
+    dx2_ref[:] = (dy_ref[:].astype(jnp.float32) + dx2_ln).astype(dx2_ref.dtype)
+
+
+def _mlp_bwd_call_emit(x2, dy, p, m2_rows, eps, rpp):
+    """Emit-variant driver with _mlp_bwd_call's return signature."""
+    rows, c = x2.shape
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+    cd = x2.dtype
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    weights = [
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["w"].astype(cd), _bias_of(p["mlp"]["fc1"], hidden),
+        p["mlp"]["fc2"]["w"].astype(cd), _bias_of(p["mlp"]["fc2"], c),
+    ]
+    dx2, dg2, dbe2, xn2_r, g_r, dh1_r = pl.pallas_call(
+        functools.partial(_mlp_bwd_emit_kernel, eps=eps),
+        grid=(rows // rpp,),
+        in_specs=[
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            *[const(w.shape) for w in weights],
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            const((1, c)), const((1, c)),
+            pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rpp, hidden), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (rpp, hidden), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, c), cd),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((rows, c), cd),
+            jax.ShapeDtypeStruct((rows, hidden), cd),
+            jax.ShapeDtypeStruct((rows, hidden), cd),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x2, dy, *weights, m2_rows)
+
+    # per-row drop-path scale: m2_rows holds one scalar per rpp-row block
+    m2_per_row = jnp.repeat(m2_rows, rpp, axis=0)  # (rows, 1)
+    dmlp = (dy.astype(jnp.float32) * m2_per_row).astype(cd)
+    dw2 = jax.lax.dot_general(
+        g_r, dmlp, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2 = jnp.sum(dmlp.astype(jnp.float32), axis=0, keepdims=True)
+    dw1 = jax.lax.dot_general(
+        xn2_r, dh1_r, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1 = jnp.sum(dh1_r.astype(jnp.float32), axis=0, keepdims=True)
+    return dx2, dw1, db1, dw2, db2, dg2, dbe2
+
+
+def _mlp_bwd_resident_bytes(c: int, hidden: int, itemsize: int) -> int:
+    """Scoped-VMEM resident estimate of the ACCUMULATING MLP backward:
+    bf16 weights + f32 dW accumulators."""
+    return 2 * c * hidden * itemsize + 2 * c * hidden * 4
+
+
+def _mlp_bwd_dispatch(x2, dy, p, m2_rows, eps, rpp):
+    hidden = p["mlp"]["fc1"]["w"].shape[1]
+    resident = _mlp_bwd_resident_bytes(
+        x2.shape[1], hidden, jnp.dtype(x2.dtype).itemsize
+    )
+    call = _mlp_bwd_call_emit if resident > 11 * 1024 * 1024 else _mlp_bwd_call
+    return call(x2, dy, p, m2_rows, eps, rpp)
+
+
 def _mlp_bwd_call(x2, dy, p, m2_rows, eps, rpp):
     rows, c = x2.shape
     hidden = p["mlp"]["fc1"]["w"].shape[1]
@@ -1341,7 +1475,7 @@ def _train_bwd_rule(heads, num_windows, scale, eps, res, dy):
     # weight-grad accumulators beside the weights
     rpp = _mlp_rows_per_program(strip_rows, hidden, budget=2_200_000)
     m2_rows = jnp.repeat(m2, strip_rows // rpp, axis=0)
-    dx2_flat, dw1, db1, dw2, db2, dg2, dbe2 = _mlp_bwd_call(
+    dx2_flat, dw1, db1, dw2, db2, dg2, dbe2 = _mlp_bwd_dispatch(
         x2.reshape(rows, c), dy.reshape(rows, c), p, m2_rows, eps, rpp
     )
     wpb = _bwd_wpb(num_windows, n, c, bw)
@@ -1605,7 +1739,7 @@ def _mlp_half_train_bwd_rule(eps, rows_per_image, res, dy):
     hidden = p["mlp"]["fc1"]["w"].shape[1]
     rpp = _mlp_rows_per_program(rows_per_image, hidden, budget=2_200_000)
     m2_rows = jnp.repeat(m2[:, None], rows_per_image // rpp, axis=0).reshape(-1, 1)
-    dx2, dw1, db1, dw2, db2, dg2, dbe2 = _mlp_bwd_call(
+    dx2, dw1, db1, dw2, db2, dg2, dbe2 = _mlp_bwd_dispatch(
         x2, dy, p, m2_rows, eps, rpp
     )
 

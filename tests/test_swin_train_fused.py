@@ -263,3 +263,28 @@ def test_attn_bwd_emit_matches_accumulate():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=nm
         )
+
+
+def test_mlp_bwd_emit_matches_accumulate():
+    """Emit-variant MLP-half backward == in-kernel-accumulation variant."""
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    rng = np.random.default_rng(5)
+    c, hidden, rpp, blocks = 32, 128, 16, 6
+    rows = rpp * blocks
+    init = swin.swin_init(
+        jax.random.PRNGKey(1),
+        dataclasses.replace(TINY, embed_dim=32, num_heads=(4, 8)),
+    )
+    p32 = init["stages"][0]["blocks"][0]
+    p = {"norm2": p32["norm2"], "mlp": p32["mlp"]}
+    x2 = jnp.asarray(rng.standard_normal((rows, c)), jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((rows, c)), jnp.float32)
+    m2 = jnp.asarray(rng.choice([0.0, 1.25], size=(blocks, 1)), jnp.float32)
+    base = sbf._mlp_bwd_call(x2, dy, p, m2, 1e-5, rpp)
+    emit = sbf._mlp_bwd_call_emit(x2, dy, p, m2, 1e-5, rpp)
+    names = ["dx2", "dw1", "db1", "dw2", "db2", "dg2", "dbe2"]
+    for nm, a, b in zip(names, base, emit):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=nm
+        )
