@@ -55,6 +55,13 @@ def parse_args(argv=None):
     p.add_argument("--num_epochs", type=int, default=5)
     # phases
     p.add_argument("--reinforce", action="store_true")
+    p.add_argument("--device_reward", action="store_true",
+                   help="compute the SCST CIDEr-D reward ON DEVICE "
+                        "(train/device_cider.py): sample + reward + gradient "
+                        "run as one jit with no host round trip per "
+                        "iteration (the reference syncs every iteration, "
+                        "losses/reward.py:30-89); reward parity is tested "
+                        "vs the host scorer")
     p.add_argument("--num_samples", type=int, default=5,
                    help="SCST samples per image (reference train.py:146-151)")
     p.add_argument("--scst_max_len", type=int, default=20)
@@ -351,18 +358,16 @@ def main(argv=None):
                                 remat=args.remat)
     )
     if args.reinforce:
-        scst_step = jax.jit(
-            train_step.make_scst_step(
-                cfg, opt, end_to_end_model=end2end, num_samples=args.num_samples
-            )
+        scst_inner = train_step.make_scst_step(
+            cfg, opt, end_to_end_model=end2end, num_samples=args.num_samples
         )
+        scst_step = jax.jit(scst_inner)
         train_records = dataset.records("train")
         reward_fn = CiderReward([r["captions"] for r in train_records])
 
         from ..decode import sampling
 
-        @jax.jit
-        def sample_batch(params, enc_input, rng, enc_num_pads=None):
+        def _sample(params, enc_input, rng, enc_num_pads=None):
             if end2end:
                 enc = end_to_end.forward_enc(params, cfg, enc_input)
             else:
@@ -375,6 +380,34 @@ def main(argv=None):
                 vocab.sos_idx, vocab.eos_idx,
                 enc_num_pads=enc_num_pads,
             )
+
+        sample_batch = jax.jit(_sample)
+
+        if args.device_reward:
+            from ..train.device_cider import DeviceCiderCorpus, cider_reward
+
+            dcorpus = DeviceCiderCorpus(
+                [r["captions"] for r in train_records], vocab
+            )
+            df_tables = jax.device_put(dcorpus.device_tables())
+            probes, logn = dcorpus.probe_depths, dcorpus.log_ref_len
+
+            @jax.jit
+            def scst_fused(state, arrays, ref_tables, rng):
+                rng_s, rng_g = jax.random.split(rng)
+                sampled = _sample(
+                    state.params, arrays["enc_input"], rng_s,
+                    enc_num_pads=arrays.get("enc_num_pads"),
+                )
+                rewards = cider_reward(
+                    sampled.tokens, sampled.lengths, ref_tables, df_tables,
+                    probes, logn,
+                )
+                return scst_inner(
+                    state, arrays,
+                    {"tokens": sampled.tokens, "lengths": sampled.lengths},
+                    rewards, rng_g,
+                )
 
     def materialize_enc_input(batch):
         """-> (enc_input, enc_num_pads or None)."""
@@ -433,6 +466,19 @@ def main(argv=None):
         if not args.reinforce:
             state, metrics = xe_step(state, arrays, sub)
             running.append(float(metrics["loss"]))
+        elif args.device_reward:
+            # one jit per iteration: sample + device CIDEr + REINFORCE grad;
+            # the only host work is gathering this batch's reference tables
+            # (a numpy fancy-index over precomputed arrays)
+            ref_tables = pm.shard_batch(
+                {
+                    k: jnp.asarray(v)
+                    for k, v in dcorpus.batch(batch["img_idxs"]).items()
+                },
+                mesh,
+            )
+            state, metrics = scst_fused(state, arrays, ref_tables, sub)
+            running.append(float(metrics["reward"]))
         else:
             sampled = sample_batch(
                 state.params, arrays["enc_input"], sub,

@@ -173,6 +173,49 @@ def main():
     jax.device_get(metrics["loss"])
     t_pipe = (time.perf_counter() - t0) / iters
 
+    # fully fused: sample + DEVICE CIDEr + grad in ONE jit (no host sync;
+    # the only host work per iteration is the numpy table gather)
+    from on_device_image_captioning_tpu.train.device_cider import (
+        DeviceCiderCorpus, cider_reward,
+    )
+    from on_device_image_captioning_tpu.train.train_step import make_scst_step
+
+    dcorpus = DeviceCiderCorpus(refs, vocab)
+    df_tables = jax.device_put(dcorpus.device_tables())
+    probes, logn = dcorpus.probe_depths, dcorpus.log_ref_len
+    scst_inner = make_scst_step(
+        cfg, opt, end_to_end_model=True, num_samples=num_samples
+    )
+
+    @jax.jit
+    def fused(state, images, ref_tables, rng_key):
+        rng_s, rng_g = jax.random.split(rng_key)
+        enc = end_to_end.forward_enc(state.params, cfg, images)
+        sampled = sampling.sample(
+            state.params["captioner"], cap_cfg, enc, num_samples,
+            scst_max_len, rng_s, vocab.sos_idx, vocab.eos_idx,
+        )
+        rewards = cider_reward(
+            sampled.tokens, sampled.lengths, ref_tables, df_tables,
+            probes, logn,
+        )
+        return scst_inner(
+            state, {"enc_input": images},
+            {"tokens": sampled.tokens, "lengths": sampled.lengths},
+            rewards, rng_g,
+        )
+
+    bt = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idxs).items()}
+    state, metrics = fused(state, images, bt, key)  # compile+warm
+    jax.device_get(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        bt = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idxs).items()}
+        state, metrics = fused(state, images, bt, sub)
+    jax.device_get(metrics["loss"])
+    t_fused = (time.perf_counter() - t0) / iters
+
     print(f"SCST b{batch} x{num_samples} samples, L{scst_max_len}, Swin-L/384 "
           f"bf16 fused+pallas:")
     print(f"  sample (device)      {t_sample * 1000:8.1f} ms")
@@ -182,6 +225,8 @@ def main():
           f"{batch / t_seq:6.2f} img/s")
     print(f"  pipelined loop       {t_pipe * 1000:8.1f} ms -> "
           f"{batch / t_pipe:6.2f} img/s   (stale-by-one sampling)")
+    print(f"  fused device-reward  {t_fused * 1000:8.1f} ms -> "
+          f"{batch / t_fused:6.2f} img/s   (one jit, device CIDEr)")
 
 
 if __name__ == "__main__":

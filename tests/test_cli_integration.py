@@ -326,3 +326,21 @@ def test_evaluate_pruned_checkpoint(corpus, tmp_path):
          "--batch_size", "2", "--max_seq_len", "12", *TINY_FLAGS]
     )
     assert rc == 0
+
+
+def test_train_scst_device_reward(corpus, tmp_path):
+    """--device_reward runs the fused sample+CIDEr+gradient jit (device-side
+    rewards, train/device_cider.py) through the train CLI end-to-end."""
+    from on_device_image_captioning_tpu.cli import train as train_cli
+
+    save = str(tmp_path / "saves") + "/"
+    rc = train_cli.main([
+        "--dataset", "coco", "--annotations", corpus["ann"],
+        "--features_path", corpus["features"], "--save_path", save,
+        "--batch_size", "4", "--print_every_iter", "2",
+        "--num_epochs", "1", "--seed", "7", "--max_seq_len", "12",
+        "--reinforce", "--device_reward", "--num_samples", "3",
+        "--scst_max_len", "8", *TINY_FLAGS,
+    ])
+    assert rc == 0
+    assert any(f.startswith("checkpoint_") for f in os.listdir(save))
