@@ -163,6 +163,11 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: tiny model + tiny data, same phase "
                          "sequencing and handoffs")
+    ap.add_argument("--from_phase", type=int, default=1,
+                    help="skip phases < N, reusing their artifacts on disk "
+                         "(features.hdf5 / checkpoint chains) — for resuming "
+                         "an interrupted rehearsal without re-spending "
+                         "tunnel-TPU time")
     a = ap.parse_args()
     global VOCAB_WORDS, IMG_SIZE
     tiny_model, tiny_feat = [], []
@@ -189,75 +194,98 @@ def main():
     ]
     report = {}
 
+    def skip(n, tag, artifact):
+        if a.from_phase <= n:
+            return False
+        assert os.path.exists(artifact), (
+            f"--from_phase {a.from_phase} skips {tag} but its artifact "
+            f"{artifact} is absent")
+        print(f"--- {tag}: SKIPPED (reusing {artifact}) ---", flush=True)
+        report[tag.split()[0]] = 0.0
+        return True
+
     # phase 1: Swin-L features (random backbone — no pretrained .pth here)
-    report["p1_features"] = run("phase1 generate_features", [
-        f"{PKG}.cli.generate_features",
-        "--annotations", os.path.join(a.data, "dataset_coco.json"),
-        "--images_path", os.path.join(a.data, "MS_COCO_2014"),
-        "--output", feats, "--batch_size", "32", "--bf16",
-        *( TINY_SWIN if a.tiny else [] ),
-    ])
+    if not skip(1, "p1_features", feats):
+        report["p1_features"] = run("phase1 generate_features", [
+            f"{PKG}.cli.generate_features",
+            "--annotations", os.path.join(a.data, "dataset_coco.json"),
+            "--images_path", os.path.join(a.data, "MS_COCO_2014"),
+            "--output", feats, "--batch_size", "32", "--bf16",
+            *( TINY_SWIN if a.tiny else [] ),
+        ])
 
     # phase 2: XE on features (recipe hyperparams, 1 epoch) + a mid-phase
     # eval hook (beam decode + all-metric scoring on the val split)
     p2 = os.path.join(a.saves, "p2")
-    report["p2_xe_features"] = run("phase2 XE features", [
-        f"{PKG}.cli.train", *common, "--save_path", p2 + "/",
-        "--features_path", feats,
-        "--warmup_iters", "100", "--lr", "2e-4", "--anneal_coeff", "0.8",
-        "--anneal_every_epoch", "2", "--enc_drop", "0.3", "--dec_drop", "0.3",
-        "--enc_input_drop", "0.3", "--dec_input_drop", "0.3",
-        "--drop_other", "0.3", "--batch_size", "48", "--num_accum", "1",
-        "--print_every_iter", "5", "--num_epochs", "1",
-        "--eval_every_iter", "15", "--eval_beam_sizes", "3", *tiny_feat,
-    ])
-    # resume: second invocation picks the checkpoint up and continues
-    report["p2_resume"] = run("phase2 RESUME", [
-        f"{PKG}.cli.train", *common, "--save_path", p2 + "/",
-        "--features_path", feats,
-        "--warmup_iters", "100", "--lr", "2e-4", "--anneal_coeff", "0.8",
-        "--anneal_every_epoch", "2", "--enc_drop", "0.3", "--dec_drop", "0.3",
-        "--enc_input_drop", "0.3", "--dec_input_drop", "0.3",
-        "--drop_other", "0.3", "--batch_size", "48", "--num_accum", "1",
-        "--print_every_iter", "5", "--num_epochs", "2", *tiny_feat,
-    ])
+    if not skip(2, "p2_xe_features", p2):
+        report["p2_xe_features"] = run("phase2 XE features", [
+            f"{PKG}.cli.train", *common, "--save_path", p2 + "/",
+            "--features_path", feats,
+            "--warmup_iters", "100", "--lr", "2e-4", "--anneal_coeff", "0.8",
+            "--anneal_every_epoch", "2", "--enc_drop", "0.3",
+            "--dec_drop", "0.3", "--enc_input_drop", "0.3",
+            "--dec_input_drop", "0.3",
+            "--drop_other", "0.3", "--batch_size", "48", "--num_accum", "1",
+            "--print_every_iter", "5", "--num_epochs", "1",
+            "--eval_every_iter", "15", "--eval_beam_sizes", "3", *tiny_feat,
+        ])
+        # resume: second invocation picks the checkpoint up and continues
+        report["p2_resume"] = run("phase2 RESUME", [
+            f"{PKG}.cli.train", *common, "--save_path", p2 + "/",
+            "--features_path", feats,
+            "--warmup_iters", "100", "--lr", "2e-4", "--anneal_coeff", "0.8",
+            "--anneal_every_epoch", "2", "--enc_drop", "0.3",
+            "--dec_drop", "0.3", "--enc_input_drop", "0.3",
+            "--dec_input_drop", "0.3",
+            "--drop_other", "0.3", "--batch_size", "48", "--num_accum", "1",
+            "--print_every_iter", "5", "--num_epochs", "2", *tiny_feat,
+        ])
 
     # phase 3: XE end-to-end, body warm-started from phase 2 (recipe lr/batch)
     p3 = os.path.join(a.saves, "p3")
-    report["p3_xe_e2e"] = run("phase3 XE end-to-end", [
-        f"{PKG}.cli.train", *common, "--save_path", p3 + "/",
-        "--is_end_to_end", "--images_path", os.path.join(a.data, "MS_COCO_2014"),
-        "--bf16", "--prefetch", "2",
-        "--warmup_iters", "1", "--lr", "3e-5", "--anneal_coeff", "0.55",
-        "--anneal_every_epoch", "1", "--enc_drop", "0.3", "--dec_drop", "0.3",
-        "--enc_input_drop", "0.3", "--dec_input_drop", "0.3",
-        "--drop_other", "0.3", "--batch_size", "16", "--num_accum", "3",
-        "--body_save_path", latest(p2),
-        "--print_every_iter", "10", "--num_epochs", "1", *tiny_model,
-    ])
+    if not skip(3, "p3_xe_e2e", p3):
+        report["p3_xe_e2e"] = run("phase3 XE end-to-end", [
+            f"{PKG}.cli.train", *common, "--save_path", p3 + "/",
+            "--is_end_to_end", "--images_path",
+            os.path.join(a.data, "MS_COCO_2014"),
+            "--bf16", "--prefetch", "2",
+            "--warmup_iters", "1", "--lr", "3e-5", "--anneal_coeff", "0.55",
+            "--anneal_every_epoch", "1", "--enc_drop", "0.3",
+            "--dec_drop", "0.3", "--enc_input_drop", "0.3",
+            "--dec_input_drop", "0.3",
+            "--drop_other", "0.3", "--batch_size", "16", "--num_accum", "3",
+            "--body_save_path", latest(p2),
+            "--print_every_iter", "10", "--num_epochs", "1", *tiny_model,
+        ])
 
     # phase 4: regenerate features with the phase-3 backbone
-    report["p4_features"] = run("phase4 regenerate features", [
-        f"{PKG}.cli.generate_features",
-        "--annotations", os.path.join(a.data, "dataset_coco.json"),
-        "--images_path", os.path.join(a.data, "MS_COCO_2014"),
-        "--backbone_checkpoint", latest(p3),
-        "--output", feats, "--batch_size", "32", "--bf16",
-        *( TINY_SWIN if a.tiny else [] ),
-    ])
+    if not skip(4, "p4_features", feats):
+        report["p4_features"] = run("phase4 regenerate features", [
+            f"{PKG}.cli.generate_features",
+            "--annotations", os.path.join(a.data, "dataset_coco.json"),
+            "--images_path", os.path.join(a.data, "MS_COCO_2014"),
+            "--backbone_checkpoint", latest(p3),
+            "--output", feats, "--batch_size", "32", "--bf16",
+            *( TINY_SWIN if a.tiny else [] ),
+        ])
 
-    # phase 5: SCST on features, seeded from the phase-3 body
+    # phase 5: SCST on features, seeded from the phase-3 body; runs the
+    # fused device-reward path (--device_reward) so both SCST reward
+    # organizations get a full-size rehearsal (phase 6 = host reward)
     p5 = os.path.join(a.saves, "p5")
-    report["p5_scst_features"] = run("phase5 SCST features", [
-        f"{PKG}.cli.train", *common, "--save_path", p5 + "/",
-        "--features_path", feats, "--reinforce", "--scst_max_len", "20",
-        "--body_save_path", latest(p3),
-        "--warmup_iters", "1", "--lr", "1e-4", "--anneal_coeff", "0.8",
-        "--anneal_every_epoch", "1", "--enc_drop", "0.1", "--dec_drop", "0.1",
-        "--enc_input_drop", "0.1", "--dec_input_drop", "0.1",
-        "--drop_other", "0.1", "--batch_size", "24", "--num_accum", "2",
-        "--print_every_iter", "5", "--num_epochs", "1", *tiny_feat,
-    ])
+    if not skip(5, "p5_scst_features", p5):
+        report["p5_scst_features"] = run("phase5 SCST features", [
+            f"{PKG}.cli.train", *common, "--save_path", p5 + "/",
+            "--features_path", feats, "--reinforce", "--scst_max_len", "20",
+            "--device_reward",
+            "--body_save_path", latest(p3),
+            "--warmup_iters", "1", "--lr", "1e-4", "--anneal_coeff", "0.8",
+            "--anneal_every_epoch", "1", "--enc_drop", "0.1",
+            "--dec_drop", "0.1", "--enc_input_drop", "0.1",
+            "--dec_input_drop", "0.1",
+            "--drop_other", "0.1", "--batch_size", "24", "--num_accum", "2",
+            "--print_every_iter", "5", "--num_epochs", "1", *tiny_feat,
+        ])
 
     # phase 6: SCST end-to-end (phase-3 backbone + phase-5 body)
     p6 = os.path.join(a.saves, "p6")
