@@ -44,6 +44,31 @@ def test_fused_block_matches_xla_full_backbone():
     )
 
 
+def test_fused_block_packed_attention_matches_perhead():
+    """The packed inference attention inner loop (all heads in two MXU dots
+    over a block-diagonal head mask + stacked softmax) must match both the
+    per-head kernel layout and the XLA path, whole-block and halves."""
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    params = swin.swin_init(jax.random.PRNGKey(2), TINY)
+    base = swin.swin_apply(params, TINY, imgs)
+    fused_cfg = dataclasses.replace(TINY, attention_impl="fused")
+    try:
+        sbf.set_infer_attn_rows_impl("packed")
+        sbf.swin_block_fused.clear_cache()
+        sbf.swin_attn_half_fused.clear_cache()
+        got = swin.swin_apply(params, fused_cfg, imgs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), rtol=2e-5, atol=2e-5
+        )
+    finally:
+        sbf.set_infer_attn_rows_impl("perhead")
+        sbf.swin_block_fused.clear_cache()
+        sbf.swin_attn_half_fused.clear_cache()
+
+
 def test_fused_halves_match_xla_backbone(monkeypatch):
     """Stages too big for the whole-block kernel split into attention-half +
     MLP-half kernels (Swin-L stage 2). Force every stage onto the halves path

@@ -25,6 +25,15 @@ def test_prefetch_overlaps_work():
         time.sleep(0.05)
         return {}
 
+    # serial baseline measured in the SAME environment so contention on a
+    # loaded box (e.g. a TPU rehearsal sharing the core) inflates both
+    # sides instead of tripping an absolute wall-clock threshold
+    t0 = time.time()
+    for _ in range(4):
+        slow_batch()
+        time.sleep(0.05)
+    serial = time.time() - t0
+
     pf = PrefetchIterator(slow_batch, lambda b: b, depth=2)
     pf.get()  # warm
     t0 = time.time()
@@ -33,8 +42,8 @@ def test_prefetch_overlaps_work():
         time.sleep(0.05)  # simulated device step
     elapsed = time.time() - t0
     pf.close()
-    # serial would be >= 8 * 0.05 = 0.4s; overlapped stays near 4 * 0.05
-    assert elapsed < 0.35, elapsed
+    # perfect overlap halves the serial time; allow generous slack
+    assert elapsed < 0.8 * serial, (elapsed, serial)
 
 
 def test_prefetch_propagates_errors():
