@@ -82,9 +82,10 @@ class CocoEvalCap:
 
                 _native_notice(
                     "METEOR", "METEOR_JAR",
-                    "Matcher runs exact/stem/embedded-synonym stages; the "
-                    "jar's full WordNet + paraphrase-table stages are "
-                    "unavailable offline.",
+                    "Matcher runs all four stages (exact/stem/synonym/"
+                    "paraphrase) but the synonym and paraphrase tables "
+                    "are embedded caption-domain stand-ins for the "
+                    "jar's WordNet + paraphrase-en.gz data.",
                 )
                 scorer = NativeMeteorScorer()
             score, per_img = scorer.compute(gts, res)

@@ -6,18 +6,20 @@ eval/meteor/meteor.py:25-111), an external binary absent from the snapshot
 self-contained reimplementation of the METEOR algorithm (Denkowski & Lavie,
 "Meteor Universal", WACV 2014) with the 1.5 English-task configuration:
 
-- matcher stages: exact (weight 1.0), Porter-stem (weight 0.6), and synonym
-  (weight 0.8) over an EMBEDDED caption-domain synonym table (below) standing
-  in for the jar's WordNet stage — this environment carries neither the jar
-  nor the WordNet corpus. The table covers the high-frequency COCO/VizWiz
-  caption vocabulary (people, vehicles, furniture, animals, common verbs and
-  adjectives), so the residual deviation vs the jar is (a) WordNet pairs
-  outside the table and (b) the paraphrase-table stage (weight 0.6, ~100 MB
-  data file) — both make this scorer a slight UNDER-estimate of jar METEOR.
-  Documented, not hidden; the mechanics (alignment, weighting, penalty) are
-  cross-validated against nltk.translate.meteor_score in
-  tests/test_meteor.py, including the synonym stage via a stub WordNet
-  backed by the same table.
+- matcher stages, all four of the jar's modules in its order: exact (weight
+  1.0), Porter-stem (0.6), synonym (0.8) over an EMBEDDED caption-domain
+  synonym table, and span-based paraphrase (0.6) over an embedded
+  caption-domain phrase table — this environment carries neither the jar,
+  nor the WordNet corpus, nor the ~100 MB pivot-derived paraphrase-en.gz,
+  so both tables stand in for the jar's data files. They cover the
+  high-frequency COCO/VizWiz caption vocabulary (people, vehicles,
+  furniture, animals, common verbs/adjectives, multiword spatial phrases),
+  so the residual deviation vs the jar is WordNet synsets and paraphrase
+  pairs outside the embedded tables — making this scorer a slight
+  UNDER-estimate of jar METEOR. Documented, not hidden; the mechanics
+  (alignment, weighting, penalty) are cross-validated against
+  nltk.translate.meteor_score in tests/test_meteor.py, including the
+  synonym stage via a stub WordNet backed by the same table.
 - parameters (-l en): alpha=0.85, beta=0.2, gamma=0.6, delta=0.75;
   Fmean = P*R / (alpha*P + (1-alpha)*R); Pen = gamma * (chunks/matches)^beta;
   segment score = (1 - Pen) * Fmean.
@@ -206,6 +208,69 @@ for _gid, _group in enumerate(SYNONYM_GROUPS):
         _SYN_IDS[_w] = _SYN_IDS.get(_w, frozenset()) | {_gid}
 _NO_SYN: frozenset = frozenset()
 
+WEIGHT_PARAPHRASE = 0.6
+
+# Caption-domain paraphrase table: each group holds interchangeable PHRASES
+# ('|'-separated), standing in for the jar's ~100 MB pivot-derived
+# paraphrase-en.gz (reference eval/meteor/data, .MISSING_LARGE_BLOBS). The
+# paraphrase stage (weight 0.6, run last over leftovers, the jar's module
+# order) matches SPANS — a hyp phrase against a ref phrase sharing a group —
+# so multiword expressions ('next to' ~ 'beside') align even when no word
+# stage can pair them. Single-word~single-word pairs belong in
+# SYNONYM_GROUPS; every group here carries at least one multiword phrase.
+PARAPHRASE_GROUPS = tuple(
+    tuple(tuple(p.split()) for p in g.split("|"))
+    for g in (
+        "next to|beside|close to|near",
+        "in front of|before|ahead of",
+        "on top of|atop|on",
+        "a lot of|lots of|plenty of|many",
+        "a couple of|a pair of|two",
+        "a group of|a bunch of|a crowd of|several",
+        "a few|some|several",
+        "each other|one another",
+        "riding on|riding|aboard",
+        "getting ready to|about to|preparing to",
+        "gets ready to|prepares to",
+        "taking a picture|taking a photo|photographing",
+        "talking on|speaking on",
+        "is filled with|is full of|contains",
+        "are filled with|are full of|contain",
+        "in the middle of|amid|amidst",
+        "side of the road|roadside",
+        "an image of|a picture of|a photo of",
+        "black and white|monochrome",
+        "tennis racket|tennis racquet",
+        "cell phone|mobile phone|cellphone",
+        "hot dog|hotdog|frankfurter",
+        "fire hydrant|hydrant",
+        "traffic light|stop light|traffic signal|stoplight",
+        "parking meter|meter",
+        "teddy bear|stuffed bear|stuffed animal",
+        "train station|railway station|depot",
+        "living room|sitting room|lounge",
+        "dining table|dinner table",
+        "skis|a pair of skis",
+        "skateboard|skate board",
+        "surfboard|surf board",
+        "snowboard|snow board",
+        "bathing suit|swimsuit|swimming costume",
+        "baseball bat|bat",
+        "wine glass|wineglass",
+        "sits on|is sitting on|is seated on",
+        "stands on|is standing on",
+        "walks down|is walking down|walking along",
+        "in the air|airborne|aloft",
+    )
+)
+
+# phrase (word tuple) -> set of paraphrase group ids; longest phrase length
+_PARA_IDS: Dict[Tuple[str, ...], frozenset] = {}
+for _gid, _pgroup in enumerate(PARAPHRASE_GROUPS):
+    for _phrase in _pgroup:
+        _PARA_IDS[_phrase] = _PARA_IDS.get(_phrase, frozenset()) | {_gid}
+_MAX_PARA_LEN = max(len(p) for p in _PARA_IDS)
+
 # Standard English closed-class (function) words: determiners, pronouns,
 # prepositions, conjunctions, auxiliaries, particles. Stand-in for the jar's
 # frequency-derived function.words list.
@@ -376,21 +441,23 @@ def _align(
     hyp: List[str],
     ref: List[str],
     stage_weights: Tuple[float, ...] = (
-        WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYNONYM,
+        WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYNONYM, WEIGHT_PARAPHRASE,
     ),
     synonyms: Dict[str, frozenset] = None,
-) -> List[Tuple[int, int, float]]:
-    """One-to-one matches (hyp_idx, ref_idx, stage_weight): exact stage,
-    then stem, then synonym (shared synonym-group test) over leftovers — the
-    jar's module order (reference eval/meteor/meteor.py:41-51 runs
-    exact/stem/synonym/paraphrase at 1.0/0.6/0.8/0.6; the paraphrase data
-    file is not embeddable). Ties resolved by preferring the ref position
-    that continues the previous match's run (chunk minimization).
+) -> List[tuple]:
+    """Matches in the jar's module order (reference eval/meteor/meteor.py:
+    41-51: exact/stem/synonym/paraphrase at 1.0/0.6/0.8/0.6): word stages
+    emit one-to-one (hyp_idx, ref_idx, stage_weight) triples; the paraphrase
+    stage emits SPAN records (hyp_idx, ref_idx, weight, hyp_len, ref_len)
+    matching leftover phrases through the embedded PARAPHRASE_GROUPS table
+    (standing in for the jar's pivot-derived paraphrase-en.gz). Ties
+    resolved by preferring the ref position that continues the previous
+    match's run (chunk minimization).
 
-    stage_weights: per-stage match weights; pass 2 entries to disable the
-    synonym stage, or all-1.0 for METEOR 1.0 mechanics (the nltk
-    cross-validation). synonyms: word -> group-id sets (defaults to the
-    embedded caption-domain table)."""
+    stage_weights: per-stage match weights; pass 2 entries for exact/stem
+    only, 3 to add synonyms, 4 (default) for all stages, or all-1.0 for
+    METEOR 1.0 mechanics (the nltk cross-validation). synonyms: word ->
+    group-id sets (defaults to the embedded caption-domain table)."""
     if synonyms is None:
         synonyms = _SYN_IDS
     matches: List[Tuple[int, int, float]] = []
@@ -428,16 +495,61 @@ def _align(
             hyp_used[i] = True
             ref_used[j] = True
             prev_ref = j
-    matches.sort()
+
+    if len(stage_weights) >= 4:
+        para_w = stage_weights[3]
+
+        def free_spans(toks, used, max_len):
+            """(start, phrase-tuple, group-ids) over fully-unused spans."""
+            out = []
+            for s in range(len(toks)):
+                for ln in range(min(max_len, len(toks) - s), 0, -1):
+                    if any(used[s : s + ln]):
+                        continue
+                    gids = _PARA_IDS.get(tuple(toks[s : s + ln]))
+                    if gids:
+                        out.append((s, ln, gids))
+                        break  # longest span at this start wins
+            return out
+
+        # hyp scanned left-to-right, longest-first; ref candidates prefer
+        # the span adjacent to the previous matched ref position
+        prev_end = -1
+        for s, ln, gids in free_spans(hyp, hyp_used, _MAX_PARA_LEN):
+            if any(hyp_used[s : s + ln]):
+                continue  # consumed by an earlier (overlapping) span match
+            rcands = [
+                (rs, rln)
+                for rs, rln, rgids in free_spans(ref, ref_used, _MAX_PARA_LEN)
+                if rgids & gids
+            ]
+            if not rcands:
+                continue
+            rs, rln = next(
+                (c for c in rcands if c[0] == prev_end), rcands[0]
+            )
+            matches.append((s, rs, para_w, ln, rln))
+            for t in range(ln):
+                hyp_used[s + t] = True
+            for t in range(rln):
+                ref_used[rs + t] = True
+            prev_end = rs + rln
+    matches.sort(key=lambda m: m[:2])
     return matches
 
 
-def _count_chunks(matches: List[Tuple[int, int, float]]) -> int:
+def _spans(matches: List[tuple]) -> List[Tuple[int, int, float, int, int]]:
+    """Normalize word triples to span records (i, j, w, hyp_len, ref_len)."""
+    return [m if len(m) == 5 else (m[0], m[1], m[2], 1, 1) for m in matches]
+
+
+def _count_chunks(matches: List[tuple]) -> int:
     if not matches:
         return 0
+    spans = _spans(matches)
     chunks = 1
-    for (h0, r0, _), (h1, r1, _) in zip(matches, matches[1:]):
-        if not (h1 == h0 + 1 and r1 == r0 + 1):
+    for (h0, r0, _, hl, rl), (h1, r1, _, _, _) in zip(spans, spans[1:]):
+        if not (h1 == h0 + hl and r1 == r0 + rl):
             chunks += 1
     return chunks
 
@@ -458,12 +570,23 @@ class _Stats:
             kw["stage_weights"] = stage_weights
         if synonyms is not None:
             kw["synonyms"] = synonyms
-        m = _align(hyp, ref, **kw)
+        m = _spans(_align(hyp, ref, **kw))
         self.w_hyp = sum(_word_weight(t, delta) for t in hyp)
         self.w_ref = sum(_word_weight(t, delta) for t in ref)
-        self.wm_hyp = sum(w * _word_weight(hyp[i], delta) for i, _, w in m)
-        self.wm_ref = sum(w * _word_weight(ref[j], delta) for _, j, w in m)
-        self.matches = len(m)
+        # span matches (paraphrase stage) count every covered word on each
+        # side, so a 3-word phrase matching a 1-word ref contributes 3 hyp
+        # words to P and 1 ref word to R (the jar's span semantics); the
+        # fragmentation `matches` denominator is the average of the two
+        # sides' matched-word counts (Meteor Stats.avgMatches)
+        self.wm_hyp = sum(
+            w * _word_weight(hyp[i + t], delta)
+            for i, _, w, hl, _ in m for t in range(hl)
+        )
+        self.wm_ref = sum(
+            w * _word_weight(ref[j + t], delta)
+            for _, j, w, _, rl in m for t in range(rl)
+        )
+        self.matches = sum((hl + rl) / 2 for _, _, _, hl, rl in m)
         # NOTE: no special-casing of full contiguous covers — METEOR applies
         # the fragmentation penalty even to verbatim matches (chunks=1), a
         # well-known property of the metric; identical segments score slightly

@@ -134,9 +134,12 @@ def run(tag, args_list, env=None):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     dt = time.time() - t0
+    full = os.path.join("/tmp", f"rehearsal_{tag.split()[0]}.log")
+    with open(full, "w") as f:
+        f.write(proc.stdout)
     tail = "\n".join(proc.stdout.strip().splitlines()[-12:])
-    print(f"--- {tag}: rc={proc.returncode} in {dt:.1f}s ---\n{tail}\n",
-          flush=True)
+    print(f"--- {tag}: rc={proc.returncode} in {dt:.1f}s "
+          f"(full log: {full}) ---\n{tail}\n", flush=True)
     if proc.returncode != 0:
         raise SystemExit(f"{tag} failed (rc={proc.returncode})")
     return dt
@@ -248,7 +251,7 @@ def main():
             f"{PKG}.cli.train", *common, "--save_path", p3 + "/",
             "--is_end_to_end", "--images_path",
             os.path.join(a.data, "MS_COCO_2014"),
-            "--bf16", "--prefetch", "2",
+            "--bf16", "--prefetch", "2", "--remat",
             "--warmup_iters", "1", "--lr", "3e-5", "--anneal_coeff", "0.55",
             "--anneal_every_epoch", "1", "--enc_drop", "0.3",
             "--dec_drop", "0.3", "--enc_input_drop", "0.3",
@@ -292,7 +295,8 @@ def main():
     report["p6_scst_e2e"] = run("phase6 SCST end-to-end", [
         f"{PKG}.cli.train", *common, "--save_path", p6 + "/",
         "--is_end_to_end", "--images_path", os.path.join(a.data, "MS_COCO_2014"),
-        "--bf16", "--prefetch", "2", "--reinforce", "--scst_max_len", "20",
+        "--bf16", "--prefetch", "2", "--remat",
+        "--reinforce", "--scst_max_len", "20",
         "--backbone_save_path", latest(p3), "--body_save_path", latest(p5),
         "--warmup_iters", "1", "--lr", "2e-6", "--anneal_coeff", "1.0",
         "--anneal_every_epoch", "1", "--enc_drop", "0.1", "--dec_drop", "0.1",

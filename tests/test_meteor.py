@@ -194,6 +194,37 @@ def test_synonym_stage_after_stem_stage():
     assert m == [(0, 0, 0.8)]
 
 
+def test_paraphrase_stage_matches_spans():
+    """The paraphrase stage (weight 0.6, last, the jar's module order) pairs
+    leftover multiword spans through the embedded table: 'next to' ~
+    'beside' aligns as a (2-word, 1-word) span record, keeps the alignment
+    one-chunk, and counts span words on each side in P/R."""
+    from on_device_image_captioning_tpu.evalcap.meteor_native import (
+        _align, _count_chunks, _Stats,
+    )
+
+    hyp = "a dog next to a tree".split()
+    ref = "a dog beside a tree".split()
+    m = _align(hyp, ref)
+    assert (2, 2, 0.6, 2, 1) in m
+    assert _count_chunks(m) == 1  # span contiguity bridges the chunk
+    st = _Stats(hyp, ref)
+    # matched words: exact a/dog/a/tree + the (2,1) span -> (4+2 + 4+1)/2
+    np.testing.assert_allclose(st.matches, 5.5)
+    # wm: span contributes 0.6*(0.75+0.25) on hyp, 0.6*0.75 on ref
+    np.testing.assert_allclose(st.wm_hyp, 0.25 + 0.75 + 0.6 + 0.25 + 0.75)
+    np.testing.assert_allclose(st.wm_ref, 0.25 + 0.75 + 0.45 + 0.25 + 0.75)
+
+
+def test_paraphrase_stage_disabled_by_stage_weights():
+    got3 = meteor_score("a lot of kites", ["many kites"],
+                        stage_weights=(1.0, 0.6, 0.8))
+    got4 = meteor_score("a lot of kites", ["many kites"])
+    # 'a lot of' ~ 'many' pairs only via the span table ('lot' is in no
+    # synonym group), so the 4-stage score is strictly higher
+    assert got4 > got3
+
+
 def test_synonym_stage_disabled_by_stage_weights():
     got = meteor_score("a man", ["a guy"], stage_weights=(1.0, 0.6))
     exact_stem_only = meteor_score("a man", ["a xyzzy"],
