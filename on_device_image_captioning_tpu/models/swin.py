@@ -106,6 +106,62 @@ def window_transition_perm(
     return inv[dst].astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def transition_pieces(res: int, window: int, from_shift: int, to_shift: int):
+    """Decompose window_transition_perm into a KERNEL-FOLDABLE form: every
+    output window of the TO layout draws its tokens from a fixed 2x2
+    neighborhood of FROM windows (row offsets dr, col offsets dc — identical
+    for every window thanks to the cyclic roll), through a single constant
+    one-hot matrix P4 (n, 4n) shared by all windows/images.
+
+    Returns (dr, dc, P4): dr/dc are 2-tuples of signed window offsets, and
+    P4 @ vstack(src[dr0,dc0], src[dr0,dc1], src[dr1,dc0], src[dr1,dc1])
+    reproduces the permuted window exactly (one-hot rows select source
+    tokens; exact in bf16 since 1.0*x accumulates one term). This is what
+    lets the shift transition ride the MXU inside the fused block kernels
+    (ops/swin_block_fused.py transition mode) instead of running as a
+    gather between transposes at the XLA level — the round-3 profile showed
+    those transpose+gather+transpose chains cost ~8 ms/fwd at b32."""
+    perm = window_transition_perm(res, window, from_shift, to_shift)
+    n = window * window
+    W = res // window
+    assert W >= 2, "transition folding needs a multi-window grid"
+    src_win = perm.reshape(-1, n) // n  # (nW, n) source window per out token
+    src_loc = perm.reshape(-1, n) % n
+
+    def signed(o):  # window offset mod W -> signed representative
+        return o if o <= W // 2 else o - W
+
+    drs, dcs = set(), set()
+    for w in range(W * W):
+        I, J = divmod(w, W)
+        for s in np.unique(src_win[w]):
+            sr, sc = divmod(int(s), W)
+            drs.add(signed((sr - I) % W))
+            dcs.add(signed((sc - J) % W))
+    dr, dc = tuple(sorted(drs)), tuple(sorted(dcs))
+    assert len(dr) <= 2 and len(dc) <= 2, (dr, dc)
+    dr = dr if len(dr) == 2 else dr * 2
+    dc = dc if len(dc) == 2 else dc * 2
+    P4 = np.zeros((n, 4 * n), np.float32)
+    for p in range(n):
+        s, loc = int(src_win[0][p]), int(src_loc[0][p])
+        sr, sc = divmod(s, W)
+        k = dr.index(signed(sr % W)) * 2 + dc.index(signed(sc % W))
+        P4[p, k * n + loc] = 1.0
+    # verify position-independence: every window's sources follow window 0's
+    # (piece index and local position both)
+    for w in range(W * W):
+        I, J = divmod(w, W)
+        for p in range(n):
+            sr, sc = divmod(int(src_win[w][p]), W)
+            k0 = int(np.argmax(P4[p])) // n
+            assert signed((sr - I) % W) == dr[k0 // 2], (w, p)
+            assert signed((sc - J) % W) == dc[k0 % 2], (w, p)
+            assert int(src_loc[w][p]) == int(np.argmax(P4[p])) % n, (w, p)
+    return dr, dc, P4
+
+
 def _window_transition(
     xw: jnp.ndarray, b: int, res: int, window: int, from_shift: int,
     to_shift: int,
@@ -467,6 +523,7 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
     window layout (row order is irrelevant to it). Deep stages scan over
     (plain, shifted) block pairs like the XLA path."""
     from ..ops.swin_block_fused import (
+        get_transition_impl as sbf_get_transition_impl,
         swin_attn_half_fused,
         swin_block_fused,
         swin_mlp_half_fused,
@@ -482,7 +539,13 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
     scale = float(cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5)
     idx = jnp.asarray(relative_position_index(window).reshape(-1))
 
-    def block(bp, xw, shift):
+    W = res // window
+    kernel_trans = sbf_get_transition_impl() == "kernel" and W >= 2
+
+    def block(bp, xw, shift, trans=None):
+        """trans: (from_shift, to_shift) — fold that window transition into
+        the kernel (transition_pieces one-hot dots) instead of gathering
+        between kernels."""
         mask = (
             jnp.asarray(shift_attn_mask(res, window, shift)) if shift > 0 else None
         )
@@ -491,12 +554,17 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
             .reshape(n, n, heads)
             .transpose(2, 0, 1)
         )
+        tkw = {}
+        if trans is not None:
+            dr, dc, P4 = transition_pieces(res, window, trans[0], trans[1])
+            tkw = dict(transition=(dr, dc, W), p4=jnp.asarray(P4))
         if mode == "full":
             return swin_block_fused(
-                xw, bp, bias, mask, heads, num_windows, scale, cfg.ln_eps
+                xw, bp, bias, mask, heads, num_windows, scale, cfg.ln_eps,
+                **tkw,
             )
         xw = swin_attn_half_fused(
-            xw, bp, bias, mask, heads, num_windows, scale, cfg.ln_eps
+            xw, bp, bias, mask, heads, num_windows, scale, cfg.ln_eps, **tkw
         )
         return swin_mlp_half_fused(xw, bp, cfg.ln_eps)
 
@@ -510,25 +578,47 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
     if depth < 4:
         cur = 0
         for j in range(depth):
-            xw = _window_transition(xw, b, res, window, cur, shifts[j])
+            if kernel_trans and shifts[j] != cur:
+                xw = block(blocks[j], xw, shifts[j], trans=(cur, shifts[j]))
+            else:
+                xw = _window_transition(xw, b, res, window, cur, shifts[j])
+                xw = block(blocks[j], xw, shifts[j])
             cur = shifts[j]
-            xw = block(blocks[j], xw, shifts[j])
         xw = _window_transition(xw, b, res, window, cur, 0)
     else:
         assert depth % 2 == 0 and shifts[0] == 0
-        even = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[0::2])
-        odd = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[1::2])
         s = shifts[1]
+        if kernel_trans and s > 0:
+            # pair 1 runs standalone (its plain block has no preceding
+            # shifted output to transition from); pairs 2..k scan with both
+            # transitions folded into the kernels, leaving the carry in the
+            # SHIFTED layout between iterations
+            xw = block(blocks[0], xw, 0)
+            xw = block(blocks[1], xw, s, trans=(0, s))
+            even = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[2::2])
+            odd = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[3::2])
 
-        def body(carry, inp):
-            pe, po = inp
-            h = block(pe, carry, 0)
-            h = _window_transition(h, b, res, window, 0, s)
-            h = block(po, h, s)
-            h = _window_transition(h, b, res, window, s, 0)
-            return h, None
+            def body(carry, inp):
+                pe, po = inp
+                h = block(pe, carry, 0, trans=(s, 0))
+                h = block(po, h, s, trans=(0, s))
+                return h, None
 
-        xw, _ = jax.lax.scan(body, xw, (even, odd))
+            xw, _ = jax.lax.scan(body, xw, (even, odd))
+            xw = _window_transition(xw, b, res, window, s, 0)
+        else:
+            even = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[0::2])
+            odd = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[1::2])
+
+            def body(carry, inp):
+                pe, po = inp
+                h = block(pe, carry, 0)
+                h = _window_transition(h, b, res, window, 0, s)
+                h = block(po, h, s)
+                h = _window_transition(h, b, res, window, s, 0)
+                return h, None
+
+            xw, _ = jax.lax.scan(body, xw, (even, odd))
     return _window_reverse(xw, window, res, res).reshape(b, l, c)
 
 

@@ -186,6 +186,26 @@ def set_infer_attn_rows_impl(impl: str) -> None:
     _INFER_ATTN_ROWS_IMPL = impl
 
 
+# Inter-block window-transition implementation for the window-resident
+# inference stages: "gather" (XLA-level composed-permutation jnp.take between
+# kernels) or "kernel" (the transition folds into the NEXT block's Pallas
+# kernel as one-hot MXU dots over a 2x2 source-window neighborhood — see
+# _transition_strip / models/swin.py transition_pieces). Numerically exact
+# either way; "kernel" removes the transpose+gather+transpose chains the
+# round-3 profile measured at ~8 ms/fwd (b32).
+_TRANSITION_IMPL = "gather"
+
+
+def set_transition_impl(impl: str) -> None:
+    global _TRANSITION_IMPL
+    assert impl in ("gather", "kernel"), impl
+    _TRANSITION_IMPL = impl
+
+
+def get_transition_impl() -> str:
+    return _TRANSITION_IMPL
+
+
 def _attention_rows_packed(
     qkv, attn_scr, bias_ref, mask_ref, *, heads, n, wpb, c, scale
 ):
@@ -281,8 +301,42 @@ def _attention_rows(
             ).astype(attn_scr.dtype)
 
 
-def _block_kernel(
-    x_ref,
+def _transition_strip(xa_ref, xb_ref, p4_ref, *, W, n, c, dc):
+    """Apply the folded shift transition (models/swin.py transition_pieces)
+    inside the kernel: the program holds TWO resident source window-rows
+    (row r+dr0 in xa, row r+dr1 in xb); each of its W output windows is the
+    one-hot product P4 @ vstack(4 source windows) — a (n, 4n)x(4n, c) MXU
+    dot selecting rows exactly (one 1.0 term accumulated in fp32 per output
+    row). Replaces the XLA-level transpose+gather+transpose chain between
+    consecutive blocks (~8 ms/fwd at b32, round-3 profile) with ~0.4 ms of
+    MXU work."""
+    rowA = xa_ref[:].reshape(W * n, c)
+    rowB = xb_ref[:].reshape(W * n, c)
+    p4 = p4_ref[:]
+    pieces = []
+    for j in range(W):
+        j0 = (j + dc[0]) % W
+        j1 = (j + dc[1]) % W
+        src = jnp.concatenate(
+            [
+                rowA[j0 * n : (j0 + 1) * n],
+                rowA[j1 * n : (j1 + 1) * n],
+                rowB[j0 * n : (j0 + 1) * n],
+                rowB[j1 * n : (j1 + 1) * n],
+            ],
+            axis=0,
+        )
+        pieces.append(
+            jax.lax.dot_general(
+                p4, src, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(rowA.dtype)
+        )
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _block_body(
+    x,
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
     bias_ref,
@@ -296,9 +350,7 @@ def _block_kernel(
     scale: float,
     eps: float,
 ):
-    c = x_ref.shape[-1]
-    rows = wpb * n
-    x = x_ref[:].reshape(rows, c)
+    c = x.shape[-1]
 
     # ---- attention sublayer -------------------------------------------------
     xn = _ln(x, g1_ref, b1_ref, eps)
@@ -317,8 +369,118 @@ def _block_kernel(
     out_ref[:] = (x + _linear(hidden, wfc2_ref, bfc2_ref)).reshape(wpb, n, c)
 
 
+def _block_kernel(
+    x_ref,
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    bias_ref,
+    mask_ref,
+    out_ref,
+    attn_scr,
+    *,
+    heads: int,
+    n: int,
+    wpb: int,
+    scale: float,
+    eps: float,
+):
+    c = x_ref.shape[-1]
+    x = x_ref[:].reshape(wpb * n, c)
+    _block_body(
+        x, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+        bias_ref, mask_ref, out_ref, attn_scr,
+        heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )
+
+
+def _block_kernel_trans(
+    xa_ref, xb_ref,
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    bias_ref,
+    mask_ref,
+    p4_ref,
+    out_ref,
+    attn_scr,
+    *,
+    heads: int,
+    n: int,
+    W: int,
+    dc,
+    scale: float,
+    eps: float,
+):
+    c = xa_ref.shape[-1]
+    x = _transition_strip(xa_ref, xb_ref, p4_ref, W=W, n=n, c=c, dc=dc)
+    _block_body(
+        x, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+        bias_ref, mask_ref, out_ref, attn_scr,
+        heads=heads, n=n, wpb=W, scale=scale, eps=eps,
+    )
+
+
+def _block_kernel_trans_no_mask(
+    xa_ref, xb_ref,
+    g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2,
+    bias_ref, p4_ref, out_ref, attn_scr,
+    *, heads, n, W, dc, scale, eps,
+):
+    _block_kernel_trans(
+        xa_ref, xb_ref, g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+        wfc1, bfc1, wfc2, bfc2, bias_ref, None, p4_ref, out_ref, attn_scr,
+        heads=heads, n=n, W=W, dc=dc, scale=scale, eps=eps,
+    )
+
+
+def _transition_specs(x, p4, transition, n, c, weights, bias, mask, heads):
+    """Shared grid/spec construction for the transition-mode kernels: grid is
+    one program per (image, output window-row); the program's TWO source
+    window-rows are fetched through mod-index maps over the SAME input array
+    (rows r+dr0 and r+dr1 of the previous block's window-layout output)."""
+    dr, dc, W = transition
+    bw = x.shape[0]
+    assert bw % (W * W) == 0
+
+    def idx_row(k):
+        def f(t):
+            b = t // W
+            r = jnp.remainder(t % W + dr[k], W)
+            return (b * W + r, 0, 0)
+
+        return f
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        pl.BlockSpec((W, n, c), idx_row(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, n, c), idx_row(1), memory_space=pltpu.VMEM),
+        *[const(w.shape) for w in weights],
+        const((heads, n, n)),
+    ]
+    args = [x, x, *weights, bias.astype(jnp.float32)]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (W, n, n), lambda t: (t % W, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+    in_specs.append(const((n, 4 * n)))
+    args.append(p4.astype(x.dtype))
+    grid = (bw // W,)
+    out_spec = pl.BlockSpec((W, n, c), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return grid, in_specs, args, out_spec, W, dc
+
+
 @functools.partial(
-    jax.jit, static_argnames=("heads", "num_windows", "scale", "eps")
+    jax.jit,
+    static_argnames=("heads", "num_windows", "scale", "eps", "transition"),
 )
 def swin_block_fused(
     x: jnp.ndarray,
@@ -329,23 +491,22 @@ def swin_block_fused(
     num_windows: int,
     scale: float,
     eps: float,
+    transition: Optional[tuple] = None,
+    p4: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """x: (B*nW, N, C) window-partitioned block input (pre-rolled when shifted).
     p: the swin block param dict (norm1/attn/norm2/mlp). bias: (H, N, N) fp32
     pre-gathered relative-position bias. mask: (nW, N, N) additive or None.
     Returns the full block output in the same window layout.
-    """
-    bw, n, c = x.shape
-    wpb = windows_per_program(
-        num_windows, n, c, bw, quantized="w_q" in p["attn"]["qkv"]
-    )
-    grid = (bw // wpb,)
-    mask_blocks = num_windows // wpb
 
-    def const(shape):
-        return pl.BlockSpec(
-            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-        )
+    transition/p4: when set ((dr, dc, W) offsets + the (N, 4N) one-hot from
+    models/swin.py transition_pieces), x is the PREVIOUS block's output in
+    its own shift layout and the kernel applies the inter-block window
+    transition itself (MXU one-hot dots over a 2x2 source-window
+    neighborhood) before computing the block — no XLA-level relayout ops
+    between consecutive blocks."""
+    bw, n, c = x.shape
+    quantized = "w_q" in p["attn"]["qkv"]
 
     weights = [
         p["norm1"]["scale"], p["norm1"]["bias"],
@@ -356,38 +517,64 @@ def swin_block_fused(
         _bias_of(p["mlp"]["fc1"], p["mlp"]["fc1"]["w" if "w" in p["mlp"]["fc1"] else "w_q"].shape[1]),
         _weight(p["mlp"]["fc2"], x.dtype), _bias_of(p["mlp"]["fc2"], c),
     ]
-    in_specs = [
-        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        *[const(w.shape) for w in weights],
-        const((heads, n, n)),
-    ]
-    args = [x, *weights, bias.astype(jnp.float32)]
-    kernel = functools.partial(
-        _block_kernel, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
-    )
-    if mask is not None:
-        in_specs.append(
-            pl.BlockSpec(
-                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(mask.astype(jnp.float32))
-    else:
-        kernel = functools.partial(
-            _no_mask_wrapper, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
-        )
-
     fc1 = p["mlp"]["fc1"]
     mlp_hidden = (fc1["w"] if "w" in fc1 else fc1["w_q"]).shape[1]
     flops_per_row = 2 * c * (3 * c + c + 2 * mlp_hidden) + 2 * 2 * n * c
+
+    if transition is not None:
+        grid, in_specs, args, out_spec, W, dc = _transition_specs(
+            x, p4, transition, n, c, weights, bias, mask, heads
+        )
+        kernel = functools.partial(
+            _block_kernel_trans if mask is not None
+            else _block_kernel_trans_no_mask,
+            heads=heads, n=n, W=W, dc=dc, scale=scale, eps=eps,
+        )
+        wpb = W
+    else:
+        wpb = windows_per_program(num_windows, n, c, bw, quantized=quantized)
+        grid = (bw // wpb,)
+        mask_blocks = num_windows // wpb
+
+        def const(shape):
+            return pl.BlockSpec(
+                shape, lambda i: tuple(0 for _ in shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [
+            pl.BlockSpec(
+                (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            *[const(w.shape) for w in weights],
+            const((heads, n, n)),
+        ]
+        args = [x, *weights, bias.astype(jnp.float32)]
+        kernel = functools.partial(
+            _block_kernel, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+        )
+        if mask is not None:
+            in_specs.append(
+                pl.BlockSpec(
+                    (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(mask.astype(jnp.float32))
+        else:
+            kernel = functools.partial(
+                _no_mask_wrapper, heads=heads, n=n, wpb=wpb, scale=scale,
+                eps=eps,
+            )
+        out_spec = pl.BlockSpec(
+            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bw, n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
         cost_estimate=pl.CostEstimate(
@@ -419,14 +606,12 @@ def _no_mask_wrapper(
 # ---------------------------------------------------------------------------
 
 
-def _attn_half_kernel(
-    x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+def _attn_half_body(
+    x, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     bias_ref, mask_ref, out_ref, attn_scr,
     *, heads, n, wpb, scale, eps,
 ):
-    c = x_ref.shape[-1]
-    rows = wpb * n
-    x = x_ref[:].reshape(rows, c)
+    c = x.shape[-1]
     xn = _ln(x, g1_ref, b1_ref, eps)
     qkv = _linear(xn, wqkv_ref, bqkv_ref)
     _attention_rows(
@@ -436,6 +621,45 @@ def _attn_half_kernel(
     )
     out_ref[:] = (x + _linear(attn_scr[:], wproj_ref, bproj_ref)).reshape(
         wpb, n, c
+    )
+
+
+def _attn_half_kernel(
+    x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    bias_ref, mask_ref, out_ref, attn_scr,
+    *, heads, n, wpb, scale, eps,
+):
+    c = x_ref.shape[-1]
+    x = x_ref[:].reshape(wpb * n, c)
+    _attn_half_body(
+        x, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        bias_ref, mask_ref, out_ref, attn_scr,
+        heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
+    )
+
+
+def _attn_half_kernel_trans(
+    xa_ref, xb_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    bias_ref, mask_ref, p4_ref, out_ref, attn_scr,
+    *, heads, n, W, dc, scale, eps,
+):
+    c = xa_ref.shape[-1]
+    x = _transition_strip(xa_ref, xb_ref, p4_ref, W=W, n=n, c=c, dc=dc)
+    _attn_half_body(
+        x, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        bias_ref, mask_ref, out_ref, attn_scr,
+        heads=heads, n=n, wpb=W, scale=scale, eps=eps,
+    )
+
+
+def _attn_half_trans_no_mask(
+    xa_ref, xb_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, p4_ref,
+    out_ref, attn_scr, *, heads, n, W, dc, scale, eps,
+):
+    _attn_half_kernel_trans(
+        xa_ref, xb_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, None,
+        p4_ref, out_ref, attn_scr,
+        heads=heads, n=n, W=W, dc=dc, scale=scale, eps=eps,
     )
 
 
@@ -450,7 +674,8 @@ def _attn_half_no_mask(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "num_windows", "scale", "eps")
+    jax.jit,
+    static_argnames=("heads", "num_windows", "scale", "eps", "transition"),
 )
 def swin_attn_half_fused(
     x: jnp.ndarray,
@@ -461,53 +686,79 @@ def swin_attn_half_fused(
     num_windows: int,
     scale: float,
     eps: float,
+    transition: Optional[tuple] = None,
+    p4: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """x + proj(window_attention(LN1(x))) on window-partitioned x (B*nW, N, C)."""
-    bw, n, c = x.shape
-    wpb = windows_per_program(
-        num_windows, n, c, bw, quantized="w_q" in p["attn"]["qkv"]
-    )
-    mask_blocks = num_windows // wpb
+    """x + proj(window_attention(LN1(x))) on window-partitioned x (B*nW, N, C).
 
-    def const(shape):
-        return pl.BlockSpec(
-            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-        )
+    transition/p4: as in swin_block_fused — fold the inter-block window
+    transition into this kernel (x is then the previous block's output in
+    its own shift layout)."""
+    bw, n, c = x.shape
 
     weights = [
         p["norm1"]["scale"], p["norm1"]["bias"],
         _weight(p["attn"]["qkv"], x.dtype), _bias_of(p["attn"]["qkv"], 3 * c),
         _weight(p["attn"]["proj"], x.dtype), _bias_of(p["attn"]["proj"], c),
     ]
-    in_specs = [
-        pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        *[const(w.shape) for w in weights],
-        const((heads, n, n)),
-    ]
-    args = [x, *weights, bias.astype(jnp.float32)]
-    if mask is not None:
-        in_specs.append(
-            pl.BlockSpec(
-                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+
+    if transition is not None:
+        grid, in_specs, args, out_spec, W, dc = _transition_specs(
+            x, p4, transition, n, c, weights, bias, mask, heads
+        )
+        kernel = functools.partial(
+            _attn_half_kernel_trans if mask is not None
+            else _attn_half_trans_no_mask,
+            heads=heads, n=n, W=W, dc=dc, scale=scale, eps=eps,
+        )
+        wpb = W
+    else:
+        wpb = windows_per_program(
+            num_windows, n, c, bw, quantized="w_q" in p["attn"]["qkv"]
+        )
+        grid = (bw // wpb,)
+        mask_blocks = num_windows // wpb
+
+        def const(shape):
+            return pl.BlockSpec(
+                shape, lambda i: tuple(0 for _ in shape),
                 memory_space=pltpu.VMEM,
             )
-        )
-        args.append(mask.astype(jnp.float32))
-        kernel = functools.partial(
-            _attn_half_kernel, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
-        )
-    else:
-        kernel = functools.partial(
-            _attn_half_no_mask, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps
+
+        in_specs = [
+            pl.BlockSpec(
+                (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            *[const(w.shape) for w in weights],
+            const((heads, n, n)),
+        ]
+        args = [x, *weights, bias.astype(jnp.float32)]
+        if mask is not None:
+            in_specs.append(
+                pl.BlockSpec(
+                    (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(mask.astype(jnp.float32))
+            kernel = functools.partial(
+                _attn_half_kernel, heads=heads, n=n, wpb=wpb, scale=scale,
+                eps=eps,
+            )
+        else:
+            kernel = functools.partial(
+                _attn_half_no_mask, heads=heads, n=n, wpb=wpb, scale=scale,
+                eps=eps,
+            )
+        out_spec = pl.BlockSpec(
+            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
 
     return pl.pallas_call(
         kernel,
-        grid=(bw // wpb,),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bw, n, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
         cost_estimate=pl.CostEstimate(

@@ -125,9 +125,14 @@ def main():
         if "total" in k.lower() and ("us" in k.lower() or "time" in k.lower())
         and "self" in k.lower()
     )
+    # column labels vary by xprof build ("HLO op name" vs "HLO Op Name") —
+    # match case-insensitively and require the values to actually vary
+    # (some builds put the constant program id first)
     name_key = next(
-        (k for k in ("HLO Op Expression", "HLO Op Name", "Op Name")
-         if k in rows[0]), cols[1],
+        (k for k in rows[0]
+         if k.lower() in ("hlo op name", "op name", "hlo op expression")
+         and len({str(r.get(k, "")) for r in rows[:50]}) > 1),
+        cols[1],
     )
     cat_key = next((k for k in rows[0] if "categor" in k.lower()), None)
     bound_key = next((k for k in rows[0] if "bound" in k.lower()), None)

@@ -69,6 +69,67 @@ def test_fused_block_packed_attention_matches_perhead():
         sbf.swin_attn_half_fused.clear_cache()
 
 
+@pytest.mark.parametrize("force_halves", [False, True])
+def test_fused_kernel_transitions_match_gather(monkeypatch, force_halves):
+    """Folding the inter-block window transition into the next block's kernel
+    (set_transition_impl('kernel'): 2x2 source-window BlockSpec fetches + the
+    transition_pieces one-hot MXU dots) must reproduce both the gather-mode
+    fused path and the XLA backbone. Config exercises the depth<4 stage loop
+    AND the deep-stage scan restructure (pair 1 standalone, carry left in the
+    shifted layout), masked and unmasked blocks, whole-block and halves
+    kernels."""
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    if force_halves:
+        monkeypatch.setattr(sbf, "eligible", lambda *a: False)
+    cfg = SwinConfig(
+        img_size=64, patch_size=4, embed_dim=16, depths=(2, 4),
+        num_heads=(2, 4), window_size=4,
+    )
+    rng = np.random.default_rng(17)
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    params = swin.swin_init(jax.random.PRNGKey(7), cfg)
+    base = swin.swin_apply(params, cfg, imgs)
+    fused_cfg = dataclasses.replace(cfg, attention_impl="fused")
+    gather = swin.swin_apply(params, fused_cfg, imgs)
+    try:
+        sbf.set_transition_impl("kernel")
+        got = swin.swin_apply(params, fused_cfg, imgs)
+    finally:
+        sbf.set_transition_impl("gather")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=2e-5, atol=2e-5
+    )
+    # vs the gather-mode fused path: same kernels modulo strip shape; only
+    # fp reduction-order noise from the different dot heights is tolerated
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(gather), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_transition_pieces_reproduce_perm():
+    """transition_pieces (dr/dc window offsets + the one-hot P4) must
+    reproduce window_transition_perm exactly for every stage geometry the
+    backbone uses, both shift directions."""
+    for res, window in [(96, 12), (48, 12), (24, 12), (16, 4), (8, 4)]:
+        shift = window // 2
+        for f, t in [(0, shift), (shift, 0)]:
+            perm = swin.window_transition_perm(res, window, f, t)
+            dr, dc, P4 = swin.transition_pieces(res, window, f, t)
+            n = window * window
+            W = res // window
+            rng = np.random.default_rng(res + f)
+            x = rng.standard_normal((W * W, n, 8)).astype(np.float32)
+            want = x.reshape(-1, 8)[perm].reshape(W * W, n, 8)
+            for I in range(W):
+                for J in range(W):
+                    src = np.concatenate([
+                        x[((I + dr[k // 2]) % W) * W + (J + dc[k % 2]) % W]
+                        for k in range(4)
+                    ])
+                    np.testing.assert_array_equal(P4 @ src, want[I * W + J])
+
+
 def test_fused_halves_match_xla_backbone(monkeypatch):
     """Stages too big for the whole-block kernel split into attention-half +
     MLP-half kernels (Swin-L stage 2). Force every stage onto the halves path
