@@ -181,8 +181,12 @@ _INFER_ATTN_ROWS_IMPL = "perhead"
 
 
 def set_infer_attn_rows_impl(impl: str) -> None:
+    """perhead: per-(window, head) lane-slice loop. packed: all heads per
+    window in two masked MXU dots (heads-fold FLOP waste — measured a wash).
+    grouped: heads in groups of 4 (gs*dk = the 128 MXU contraction at dk=32)
+    — per-head padded FLOPs, quarter the dispatches/softmaxes."""
     global _INFER_ATTN_ROWS_IMPL
-    assert impl in ("perhead", "packed"), impl
+    assert impl in ("perhead", "packed", "grouped"), impl
     _INFER_ATTN_ROWS_IMPL = impl
 
 
@@ -255,6 +259,70 @@ def _attention_rows_packed(
         attn_scr[row0 : row0 + n, :] = acc.astype(attn_scr.dtype)
 
 
+def _attention_rows_grouped(
+    qkv, attn_scr, bias_ref, mask_ref, *, heads, n, wpb, c, scale, gs=4
+):
+    """Heads processed in groups of `gs` (default 4, so gs*dk == 128 at the
+    Swin-L dk=32): the group's score dot runs a block-diagonal head-stacked Q
+    (gs*n, gs*dk) against the gs-head K slab contracting the FULL group
+    width — per-group padded MXU cycles are IDENTICAL to gs per-head dk=32
+    dots (each pads its contraction 32->128), but there are gs-fold fewer
+    dot/softmax dispatches, and the softmax max/exp/sum passes run once over
+    the (gs*n, n) stack instead of gs times. Unlike the all-heads 'packed'
+    variant, no extra FLOPs: off-block lanes are zero, contributing nothing
+    to the fp32 accumulation (exact).
+
+    Value dot: R = P_stack (gs*n, n) @ V_slab (n, gs*dk); piece k's useful
+    (n, dk) output is its diagonal block R[k*n:(k+1)*n, k*dk:(k+1)*dk] —
+    sliced out, never added, so cross-head products are discarded exactly."""
+    dk = c // heads
+    gw = gs * dk
+    row_piece = jax.lax.broadcasted_iota(jnp.int32, (gs * n, gw), 0) // n
+    col_piece = jax.lax.broadcasted_iota(jnp.int32, (gs * n, gw), 1) // dk
+    blkdiag = row_piece == col_piece
+    groups = []
+    h0 = 0
+    while h0 < heads:
+        g = min(gs, heads - h0)
+        groups.append((h0, g))
+        h0 += g
+    for w in range(wpb):
+        row0 = w * n
+        for h0, g in groups:
+            col = h0 * dk
+            width = g * dk
+            sel = blkdiag[: g * n, :width]
+            q_slab = qkv[row0 : row0 + n, col : col + width] * scale
+            k_slab = qkv[row0 : row0 + n, c + col : c + col + width]
+            v_slab = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + width]
+            q_stack = jnp.where(
+                sel, jnp.concatenate([q_slab] * g, axis=0), 0
+            ).astype(q_slab.dtype)
+            s = jax.lax.dot_general(
+                q_stack, k_slab,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias_ref[h0 : h0 + g].reshape(g * n, n)
+            if mask_ref is not None:
+                s = s + jnp.concatenate([mask_ref[w]] * g, axis=0)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            inv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            r = jax.lax.dot_general(
+                e.astype(v_slab.dtype), v_slab,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            r = r * inv
+            for k in range(g):
+                attn_scr[
+                    row0 : row0 + n, col + k * dk : col + (k + 1) * dk
+                ] = r[k * n : (k + 1) * n, k * dk : (k + 1) * dk].astype(
+                    attn_scr.dtype
+                )
+
+
 def _attention_rows(
     qkv, attn_scr, bias_ref, mask_ref, *, heads, n, wpb, c, scale,
     packed=False,
@@ -262,6 +330,12 @@ def _attention_rows(
     """Per-window multi-head attention over flat (wpb*n, 3c) qkv rows, writing
     (wpb*n, c) into attn_scr — shared by the whole-block and attention-half
     kernels."""
+    if _INFER_ATTN_ROWS_IMPL == "grouped" and not packed:
+        _attention_rows_grouped(
+            qkv, attn_scr, bias_ref, mask_ref,
+            heads=heads, n=n, wpb=wpb, c=c, scale=scale,
+        )
+        return
     if packed:
         _attention_rows_packed(
             qkv, attn_scr, bias_ref, mask_ref,

@@ -193,7 +193,13 @@ def main():
         "--annotations", os.path.join(a.data, "dataset_coco.json"),
         "--seed", "775533", "--optim_type", "radam",
         "--sched_type", "custom_warmup_anneal",
-        "--save_every_minutes", "1", "--how_many_checkpoints", "2",
+        # 10-minute cadence: the END-TO-END phases' checkpoints are ~3.5 GB
+        # (233M params + RAdam moments, fp32) and each save pulls the whole
+        # state through the device tunnel — at 1-minute cadence the phase-3
+        # run spent more wall-clock saving than training (measured: ~20 min
+        # per iteration+save cycle). 10 min still exercises save+rotation
+        # (~2 saves per phase) without drowning the run.
+        "--save_every_minutes", "10", "--how_many_checkpoints", "2",
     ]
     report = {}
 

@@ -44,10 +44,13 @@ def test_fused_block_matches_xla_full_backbone():
     )
 
 
-def test_fused_block_packed_attention_matches_perhead():
-    """The packed inference attention inner loop (all heads in two MXU dots
-    over a block-diagonal head mask + stacked softmax) must match both the
-    per-head kernel layout and the XLA path, whole-block and halves."""
+@pytest.mark.parametrize("impl", ["packed", "grouped"])
+def test_fused_block_attention_impls_match_perhead(impl):
+    """The alternative inference attention inner loops — packed (all heads in
+    two masked MXU dots + one stacked softmax) and grouped (heads in groups
+    of 4, per-head padded FLOPs, quarter the dispatches) — must match the
+    XLA path, whole-block and halves. TINY's head counts (2, 4) exercise the
+    grouped remainder path (g < gs) and the exact-group path."""
     from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
 
     rng = np.random.default_rng(11)
@@ -56,7 +59,7 @@ def test_fused_block_packed_attention_matches_perhead():
     base = swin.swin_apply(params, TINY, imgs)
     fused_cfg = dataclasses.replace(TINY, attention_impl="fused")
     try:
-        sbf.set_infer_attn_rows_impl("packed")
+        sbf.set_infer_attn_rows_impl(impl)
         sbf.swin_block_fused.clear_cache()
         sbf.swin_attn_half_fused.clear_cache()
         got = swin.swin_apply(params, fused_cfg, imgs)
