@@ -314,10 +314,26 @@ def window_attention(
             qkv = qkv + p["qkv"]["b"].astype(qkv.dtype)
         if dtype is not None:
             qkv = qkv.astype(dtype)
-    qkv = qkv.reshape(bw, n, 3, num_heads, dk).transpose(2, 0, 3, 1, 4)
     idx = jnp.asarray(relative_position_index(window).reshape(-1))
     bias = jnp.take(p["rel_bias"], idx, axis=0).reshape(n, n, num_heads)
     bias = bias.transpose(2, 0, 1)  # (h, n, n)
+
+    if impl == "fused" and not train:
+        # block wasn't kernel-eligible (Swin-L stage 3: 1536-dim weights
+        # exceed even the half-kernel VMEM budget) — keep the GEMMs in XLA
+        # but run the score/softmax/value chain in VMEM per window instead
+        # of materializing (B, heads, N, N) fp32 score tensors in HBM
+        from ..ops.swin_block_fused import attention_core_fused
+
+        nw = attn_mask.shape[0] if attn_mask is not None else 1
+        out = attention_core_fused(
+            qkv, bias, attn_mask, num_heads, nw, float(scale)
+        )  # (bw, n, c) flat — no head transpose round trip
+        rngs.next()  # keep the stream aligned with the XLA path's attn-drop
+        out = linear(p["proj"], out, dtype)
+        return dropout(rngs.next(), proj_drop, out, train)
+
+    qkv = qkv.reshape(bw, n, 3, num_heads, dk).transpose(2, 0, 3, 1, 4)
 
     if impl == "pallas" and not (train and attn_drop > 0.0):
         from ..ops.window_attention import window_attention_pallas

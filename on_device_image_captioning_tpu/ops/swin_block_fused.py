@@ -844,6 +844,100 @@ def swin_attn_half_fused(
     )(*args)
 
 
+def _attn_core_kernel(
+    qkv_ref, bias_ref, mask_ref, out_ref, attn_scr,
+    *, heads, n, wpb, scale,
+):
+    c3 = qkv_ref.shape[-1]
+    qkv = qkv_ref[:].reshape(wpb * n, c3)
+    _attention_rows(
+        qkv, attn_scr, bias_ref, mask_ref,
+        heads=heads, n=n, wpb=wpb, c=c3 // 3, scale=scale,
+        packed=_INFER_ATTN_ROWS_IMPL == "packed",
+    )
+    out_ref[:] = attn_scr[:].reshape(wpb, n, c3 // 3)
+
+
+def _attn_core_no_mask(
+    qkv_ref, bias_ref, out_ref, attn_scr, *, heads, n, wpb, scale,
+):
+    _attn_core_kernel(
+        qkv_ref, bias_ref, None, out_ref, attn_scr,
+        heads=heads, n=n, wpb=wpb, scale=scale,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "num_windows", "scale")
+)
+def attention_core_fused(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    heads: int,
+    num_windows: int,
+    scale: float,
+) -> jnp.ndarray:
+    """Weights-free per-window attention core: qkv is the ALREADY-COMPUTED
+    flat projection (B*nW, N, 3C) (cols [q | k | v], per-head dk blocks
+    within each), output is the flat pre-proj attention result (B*nW, N, C).
+
+    For stages whose weight set exceeds even the half-kernel VMEM budget
+    (Swin-L stage 3, dim 1536: qkv alone is 14 MB bf16), the GEMMs stay in
+    XLA but the score/softmax/value chain — which XLA materializes as
+    (B, heads, N, N) fp32 HBM tensors (~127 MB at b32/48 heads, measured
+    ~1.3 ms/fwd in the round-3 profile) — runs in VMEM per window with the
+    same inner loop as the fused block kernels (grouped/perhead/packed)."""
+    bw, n, c3 = qkv.shape
+    c = c3 // 3
+    # strip budget on the qkv rows (3x the x width of the block kernels)
+    wpb = _largest_divisor_wpb(num_windows, n, c3, _TARGET_ELEMS)
+    mask_blocks = num_windows // wpb
+
+    def const(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        pl.BlockSpec((wpb, n, c3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((heads, n, n)),
+    ]
+    args = [qkv, bias.astype(jnp.float32)]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _attn_core_kernel, heads=heads, n=n, wpb=wpb, scale=scale
+        )
+    else:
+        kernel = functools.partial(
+            _attn_core_no_mask, heads=heads, n=n, wpb=wpb, scale=scale
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // wpb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((wpb * n, c), qkv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=bw * n * 4 * n * c,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=bw * n * heads * n,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
 def _mlp_half_kernel(
     x_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, out_ref,
     *, eps,

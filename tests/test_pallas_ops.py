@@ -133,6 +133,25 @@ def test_transition_pieces_reproduce_perm():
                     np.testing.assert_array_equal(P4 @ src, want[I * W + J])
 
 
+def test_attention_core_path_matches_xla(monkeypatch):
+    """Blocks too big for even the half kernels (Swin-L stage 3) keep their
+    GEMMs in XLA but run score/softmax/value through attention_core_fused.
+    Force every block onto that path and compare to the XLA backbone."""
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    monkeypatch.setattr(sbf, "eligible", lambda *a: False)
+    monkeypatch.setattr(sbf, "eligible_halves", lambda *a: False)
+    rng = np.random.default_rng(23)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    params = swin.swin_init(jax.random.PRNGKey(9), TINY)
+    base = swin.swin_apply(params, TINY, imgs)
+    fused_cfg = dataclasses.replace(TINY, attention_impl="fused")
+    got = swin.swin_apply(params, fused_cfg, imgs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_fused_halves_match_xla_backbone(monkeypatch):
     """Stages too big for the whole-block kernel split into attention-half +
     MLP-half kernels (Swin-L stage 2). Force every stage onto the halves path
