@@ -358,8 +358,12 @@ def main(argv=None):
                                 remat=args.remat)
     )
     if args.reinforce:
+        # remat threads into the re-score encoder exactly as in the XE step —
+        # without it the full-size SCST e2e backward needs ~30 GB of stage-2
+        # activation saves (caught by the recipe rehearsal's phase-6 OOM)
         scst_inner = train_step.make_scst_step(
-            cfg, opt, end_to_end_model=end2end, num_samples=args.num_samples
+            cfg, opt, end_to_end_model=end2end, num_samples=args.num_samples,
+            remat=args.remat,
         )
         scst_step = jax.jit(scst_inner)
         train_records = dataset.records("train")
