@@ -195,9 +195,14 @@ def set_infer_attn_rows_impl(impl: str) -> None:
 # kernels) or "kernel" (the transition folds into the NEXT block's Pallas
 # kernel as one-hot MXU dots over a 2x2 source-window neighborhood — see
 # _transition_strip / models/swin.py transition_pieces). Numerically exact
-# either way; "kernel" removes the transpose+gather+transpose chains the
-# round-3 profile measured at ~8 ms/fwd (b32).
-_TRANSITION_IMPL = "gather"
+# either way. Measured b32 bf16 Swin-L backbone (pipelined): gather 85.1 ms,
+# kernel 81.9 ms — the XLA transpose+gather+transpose chains (~6.8 ms of
+# 'data formatting') collapse into ~2.3 ms of in-kernel P4 dots + double
+# source fetches. Also measured: splitting the per-window P4 dot into two
+# contiguous-slice (n, 2n) dots to avoid the VMEM concat is SLOWER
+# (83.2 ms) — two 288->384-padded contractions cost more MXU cycles than
+# one 576->640 dot plus the concat copies.
+_TRANSITION_IMPL = "kernel"
 
 
 def set_transition_impl(impl: str) -> None:

@@ -33,8 +33,11 @@ def build(what, batch):
     from on_device_image_captioning_tpu.decode import beam_search as bs
     from on_device_image_captioning_tpu.decode.cache import set_dyn_step_impl
     from on_device_image_captioning_tpu.models import end_to_end, swin, captioner
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
     from on_device_image_captioning_tpu.utils.image import normalize_on_device
 
+    sbf.set_transition_impl(os.environ.get("PROF_TRANSITION", "gather"))
+    sbf.set_infer_attn_rows_impl(os.environ.get("PROF_ATTN", "perhead"))
     set_dyn_step_impl("pallas")
     cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
     cfg = dataclasses.replace(

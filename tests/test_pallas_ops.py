@@ -94,12 +94,14 @@ def test_fused_kernel_transitions_match_gather(monkeypatch, force_halves):
     params = swin.swin_init(jax.random.PRNGKey(7), cfg)
     base = swin.swin_apply(params, cfg, imgs)
     fused_cfg = dataclasses.replace(cfg, attention_impl="fused")
-    gather = swin.swin_apply(params, fused_cfg, imgs)
+    prev = sbf.get_transition_impl()
     try:
+        sbf.set_transition_impl("gather")
+        gather = swin.swin_apply(params, fused_cfg, imgs)
         sbf.set_transition_impl("kernel")
         got = swin.swin_apply(params, fused_cfg, imgs)
     finally:
-        sbf.set_transition_impl("gather")
+        sbf.set_transition_impl(prev)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(base), rtol=2e-5, atol=2e-5
     )
