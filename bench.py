@@ -51,10 +51,11 @@ def main():
 
     import dataclasses
 
-    # b48 is the measured throughput optimum with the fused kernels +
-    # window-resident stages + fixed-slot decode (sweep after those:
-    # b32 303.4 / b48 311.9 / b64 311.0 img/s; earlier sweep peaked at b32)
-    batch = int(os.environ.get("BENCH_BATCH", "48"))
+    # b64 is the measured throughput optimum after the round-3 in-kernel
+    # window transitions + stage-3 attention core (sweep: b32 314.9 /
+    # b48 310.2 / b64 326.3 / b80 318.9 / b96 320.6 img/s; the r2 optimum
+    # was b48 = 312.3)
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     beam = int(os.environ.get("BENCH_BEAM", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     quant = os.environ.get("BENCH_QUANT", "none")  # none | w8 | w8a8
