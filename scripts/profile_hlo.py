@@ -58,6 +58,41 @@ def build(what, batch):
             return jnp.sum(y.astype(jnp.float32))
 
         return fn, (params, images)
+    if what == "train":
+        from on_device_image_captioning_tpu.train.radam import radam
+        from on_device_image_captioning_tpu.train.train_step import (
+            init_train_state, make_xe_step,
+        )
+
+        cfg2 = dataclasses.replace(
+            cfg, swin=dataclasses.replace(cfg.swin, drop_path_rate=0.1)
+        )
+        opt = radam(2e-5)
+        state = init_train_state(params, opt)
+        step = make_xe_step(cfg2, opt, end_to_end_model=True, remat=True)
+        rng = np.random.default_rng(0)
+        batch_data = {
+            "enc_input": jnp.asarray(
+                rng.standard_normal((batch, 384, 384, 3), dtype=np.float32)
+            ),
+            "captions": jnp.asarray(
+                rng.integers(0, cfg.captioner.vocab_size, (batch, 28)),
+                jnp.int32,
+            ),
+        }
+
+        @jax.jit
+        def fn(state, batch_data):
+            st, m = step(state, batch_data, jax.random.PRNGKey(1))
+            # anchor the updated state so XLA can't DCE backward + optimizer
+            anchor = jax.tree.reduce(
+                lambda a, b: a + jnp.sum(b).astype(jnp.float32),
+                st.params, jnp.float32(0),
+            )
+            return m["loss"] + 0.0 * anchor
+
+        return fn, (state, batch_data)
+
     if what == "decode":
         feats = jax.jit(
             lambda p, x: swin.swin_apply(
