@@ -176,6 +176,59 @@ def _window_transition(
     return jnp.take(flat, perm, axis=1).reshape(-1, n, c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _window_transition_diff(
+    xw: jnp.ndarray, b: int, res: int, window: int, from_shift: int,
+    to_shift: int,
+) -> jnp.ndarray:
+    """_window_transition with a gather-only VJP. XLA's automatic VJP of the
+    permutation gather is a scatter, which lowers catastrophically on TPU
+    (measured: an 18-transition stage-2-shaped chain costs 87 ms/step fwd+bwd
+    through the scatter vs 5.4 ms through the inverse gather at b16). The
+    inverse of window_transition_perm(f, t) is exactly
+    window_transition_perm(t, f) (both are layout(f)^-1 . layout(t)
+    compositions), so the cotangent transition is another single gather."""
+    return _window_transition(xw, b, res, window, from_shift, to_shift)
+
+
+def _wt_fwd(xw, b, res, window, from_shift, to_shift):
+    return _window_transition(xw, b, res, window, from_shift, to_shift), None
+
+
+def _wt_bwd(b, res, window, from_shift, to_shift, _, g):
+    return (_window_transition(g, b, res, window, to_shift, from_shift),)
+
+
+_window_transition_diff.defvjp(_wt_fwd, _wt_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _rel_bias_gather(window: int):
+    """Differentiable rel-pos-bias table gather whose backward is a one-hot
+    MXU matmul instead of XLA's serialized scatter-add (measured on the v5e:
+    18 Swin-L stage-2 bias gathers fwd+bwd drop 5.3 -> 3.5 ms). Exact up to
+    f32 summation order (each table bucket accumulates its ~n^2/(2W-1)^2
+    cotangent rows through an fp32 dot with one-hot weights)."""
+    nbuckets = (2 * window - 1) ** 2
+    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+
+    @jax.custom_vjp
+    def gather(table):
+        return jnp.take(table, idx, axis=0)
+
+    def fwd(table):
+        return gather(table), None
+
+    def bwd(_, g):
+        onehot = (jnp.arange(nbuckets)[:, None] == idx[None, :]).astype(
+            jnp.float32
+        )
+        return (onehot @ g.astype(jnp.float32),)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def effective_window(cfg: SwinConfig, stage: int, block: int):
     """Per-block (window_size, shift_size): when the stage resolution is <= the
     window, the whole grid is one window and the shift is disabled
@@ -665,6 +718,146 @@ def _fused_train_active(cfg: SwinConfig, p, c: int, train: bool, dtype) -> bool:
     return _fused_train_mode(cfg, p, c, train, dtype) is not None
 
 
+def _stage_fused_train_mode(stage, cfg: SwinConfig, c: int, train: bool, dtype):
+    """Uniform fused-train mode across a stage's blocks ('full'/'halves'), or
+    None when any block is ineligible (quantized weights, nonzero dropout) or
+    the modes disagree — the stage then runs block-by-block as before."""
+    modes = [
+        _fused_train_mode(cfg, bp, c, train, dtype) for bp in stage["blocks"]
+    ]
+    if modes and modes[0] is not None and all(m == modes[0] for m in modes):
+        return modes[0]
+    return None
+
+
+def _run_stage_fused_windows_train(
+    stage, cfg: SwinConfig, x, i, rngs: RngStream, stage_dpr, dtype, mode
+):
+    """Training-stage execution in WINDOW-RESIDENT layout — the train-side
+    counterpart of _run_stage_fused_windows: x is partitioned into windows
+    once at stage entry, the shift transitions between consecutive blocks run
+    as single permutation gathers with gather-only VJPs
+    (_window_transition_diff) instead of per-block reverse -> roll ->
+    partition relayout chains (whose automatic backwards replay the same HBM
+    passes, and whose gather form would backprop through an XLA scatter), and
+    the rel-pos bias gather backward rides the MXU (_rel_bias_gather).
+
+    Numerically identical to composing _swin_block_fused_train_path per block:
+    transitions are pure data movement (rows stay image-major, so the
+    per-image stochastic-depth scales keep their row-block structure), and the
+    rng-draw order below mirrors _run_stage + swin_block exactly so the drawn
+    drop-path masks coincide with the XLA path under the same keys."""
+    from ..ops.swin_block_fused import (
+        swin_attn_half_fused_train,
+        swin_block_fused_train,
+        swin_mlp_half_fused_train,
+        train_fwd_wpb,
+    )
+
+    b, l, c = x.shape
+    res = cfg.stage_resolution(i)[0]
+    heads = cfg.num_heads[i]
+    window, _ = effective_window(cfg, i, 0)
+    n = window * window
+    num_windows = (res // window) ** 2
+    dk = c // heads
+    scale = float(cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5)
+    gather_bias = _rel_bias_gather(window)
+    wpb = train_fwd_wpb(num_windows, n, c, b * num_windows)
+    strips_per_img = num_windows // wpb
+
+    def dp_scale(key, rate):
+        # same per-image multiplier _drop_path would draw from this key
+        if key is None:
+            return jnp.ones((b,), jnp.float32)
+        keep = 1.0 - rate
+        mask_b = jax.random.bernoulli(key, keep, (b,))
+        return jnp.where(mask_b, 1.0 / keep, 0.0).astype(jnp.float32)
+
+    def block(bp, xw, shift, block_rng, rate):
+        # consume the rng stream in swin_block's exact order (attn-drop,
+        # proj-drop, drop-path 1, mlp-drop x2, drop-path 2)
+        rs = RngStream(block_rng)
+        rs.next(), rs.next()
+        k_dp1 = rs.next()
+        rs.next(), rs.next()
+        k_dp2 = rs.next()
+        mask = (
+            jnp.asarray(shift_attn_mask(res, window, shift))
+            if shift > 0
+            else None
+        )
+        bias = gather_bias(bp["attn"]["rel_bias"]).reshape(n, n, heads)
+        bias = bias.transpose(2, 0, 1)
+        m1 = jnp.repeat(dp_scale(k_dp1, rate), strips_per_img)[:, None]
+        if mode == "full":
+            m2 = jnp.repeat(dp_scale(k_dp2, rate), strips_per_img)[:, None]
+            p_used = {
+                "norm1": bp["norm1"],
+                "attn": {"qkv": bp["attn"]["qkv"], "proj": bp["attn"]["proj"]},
+                "norm2": bp["norm2"],
+                "mlp": bp["mlp"],
+            }
+            return swin_block_fused_train(
+                xw, p_used, bias, mask, m1, m2, heads, num_windows, scale,
+                cfg.ln_eps,
+            )
+        p_attn = {
+            "norm1": bp["norm1"],
+            "attn": {"qkv": bp["attn"]["qkv"], "proj": bp["attn"]["proj"]},
+        }
+        x2 = swin_attn_half_fused_train(
+            xw, p_attn, bias, mask, m1, heads, num_windows, scale, cfg.ln_eps
+        )
+        p_mlp = {"norm2": bp["norm2"], "mlp": bp["mlp"]}
+        return swin_mlp_half_fused_train(
+            x2.reshape(-1, c), p_mlp, dp_scale(k_dp2, rate), cfg.ln_eps,
+            num_windows * n,
+        ).reshape(-1, n, c)
+
+    xw = _window_partition(x.reshape(b, res, res, c), window)
+    if dtype is not None:
+        xw = xw.astype(dtype)
+
+    blocks = stage["blocks"]
+    depth = len(blocks)
+    shifts = [effective_window(cfg, i, j)[1] for j in range(depth)]
+    if depth < 4:
+        cur = 0
+        for j in range(depth):
+            xw = _window_transition_diff(xw, b, res, window, cur, shifts[j])
+            xw = block(blocks[j], xw, shifts[j], rngs.next(), stage_dpr[j])
+            cur = shifts[j]
+        xw = _window_transition_diff(xw, b, res, window, cur, 0)
+    else:
+        assert depth % 2 == 0 and shifts[0] == 0
+        s = shifts[1]
+        even = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[0::2])
+        odd = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[1::2])
+        n_pairs = depth // 2
+        rate_e = jnp.asarray(stage_dpr[0::2], jnp.float32)
+        rate_o = jnp.asarray(stage_dpr[1::2], jnp.float32)
+        use_rng = rngs.next() is not None
+        if use_rng:
+            keys_e = jnp.stack([rngs.next() for _ in range(n_pairs)])
+            keys_o = jnp.stack([rngs.next() for _ in range(n_pairs)])
+        else:
+            keys_e = keys_o = jnp.zeros((n_pairs, 2), jnp.uint32)
+
+        def body(carry, inp):
+            pe, po, de, do, ke, ko = inp
+            h = block(pe, carry, 0, ke if use_rng else None, de)
+            h = _window_transition_diff(h, b, res, window, 0, s)
+            h = block(po, h, s, ko if use_rng else None, do)
+            h = _window_transition_diff(h, b, res, window, s, 0)
+            return h, None
+
+        xw, _ = jax.lax.scan(
+            body, xw, (even, odd, rate_e, rate_o, keys_e, keys_o)
+        )
+    return _window_reverse(xw, window, res, res).reshape(b, l, c)
+
+
 def _swin_block_fused_train_path(
     p, cfg: SwinConfig, x, stage, window, shift, dtype, drop_path_rate,
     k_dp1, k_dp2, mode: str = "full",
@@ -698,8 +891,7 @@ def _swin_block_fused_train_path(
     if dtype is not None:
         xw = xw.astype(dtype)
 
-    idx = jnp.asarray(relative_position_index(window).reshape(-1))
-    bias = jnp.take(p["attn"]["rel_bias"], idx, axis=0).reshape(n, n, heads)
+    bias = _rel_bias_gather(window)(p["attn"]["rel_bias"]).reshape(n, n, heads)
     bias = bias.transpose(2, 0, 1)
     dk = c // heads
     scale = cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5
@@ -864,6 +1056,16 @@ def _run_stage(
         )
         if mode is not None:
             return _run_stage_fused_windows(stage, cfg, x, i, dtype, mode)
+    if train and cfg.attention_impl == "fused" and depth > 0:
+        mode = _stage_fused_train_mode(
+            stage, cfg, x.shape[-1], train, x.dtype if dtype is None else dtype
+        )
+        if mode is not None:
+            # fused-train blocks self-recompute in their custom VJPs, so this
+            # path ignores `remat` exactly like the per-block gating below
+            return _run_stage_fused_windows_train(
+                stage, cfg, x, i, rngs, stage_dpr, dtype, mode
+            )
     if depth < 4:
         for j in range(depth):
             fn = swin_block

@@ -288,3 +288,61 @@ def test_mlp_bwd_emit_matches_accumulate():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=nm
         )
+
+
+def test_fused_train_deep_stage_scan_matches_xla():
+    """depth >= 4 stages train through the window-resident scan branch of
+    _run_stage_fused_windows_train (pair scan + permutation transitions with
+    gather-only VJPs); values and grads must match the XLA path under the
+    same rng (drop-path active, pinning the stacked-key draw order)."""
+    cfg = dataclasses.replace(TINY, depths=(2, 4), drop_path_rate=0.2)
+    cfgf = dataclasses.replace(cfg, attention_impl="fused")
+    params = swin.swin_init(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    )
+    key = jax.random.PRNGKey(9)
+
+    def loss(c):
+        def f(p):
+            y = swin.swin_apply(p, c, imgs, train=True, rng=key)
+            return jnp.mean(y * y)
+
+        return f
+
+    val_x, g_x = jax.value_and_grad(loss(cfg))(params)
+    val_f, g_f = jax.value_and_grad(loss(cfgf))(params)
+    np.testing.assert_allclose(val_f, val_x, rtol=2e-5)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_x), jax.tree.leaves(g_f)
+    ):
+        np.testing.assert_allclose(
+            b, a, rtol=3e-4, atol=3e-5, err_msg=str(path)
+        )
+
+
+def test_fused_train_window_resident_equals_per_block(monkeypatch):
+    """The window-resident train runner must reproduce the per-block fused
+    path BITWISE (shift transitions and their VJPs are pure data movement;
+    kernels and rng draws are shared), values and grads both."""
+    cfg = dataclasses.replace(FUSED, depths=(2, 4), drop_path_rate=0.2)
+    params = swin.swin_init(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    )
+    key = jax.random.PRNGKey(4)
+
+    def f(p):
+        y = swin.swin_apply(p, cfg, imgs, train=True, rng=key)
+        return jnp.mean(y * y)
+
+    val_w, g_w = jax.value_and_grad(f)(params)
+    monkeypatch.setattr(swin, "_stage_fused_train_mode", lambda *a, **k: None)
+    val_b, g_b = jax.value_and_grad(f)(params)
+    np.testing.assert_array_equal(np.asarray(val_w), np.asarray(val_b))
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_b), jax.tree.leaves(g_w)
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(b), np.asarray(a), err_msg=str(path)
+        )
