@@ -202,31 +202,115 @@ def _wt_bwd(b, res, window, from_shift, to_shift, _, g):
 _window_transition_diff.defvjp(_wt_fwd, _wt_bwd)
 
 
-@functools.lru_cache(maxsize=None)
-def _rel_bias_gather(window: int):
+# Transition implementation for the TRAIN window-resident runner: "gather"
+# (XLA jnp.take with a gather-only VJP, _window_transition_diff) or "kernel"
+# (standalone Pallas permute kernel riding the MXU one-hot dots, VJP = the
+# same kernel with the inverse transition). Bitwise identical; unlike the
+# inference stages the transition can't fold into the next block's kernel
+# because the train kernels' custom VJPs save the post-transition x.
+_TRAIN_TRANSITION_IMPL = "gather"
+
+
+def set_train_transition_impl(impl: str) -> None:
+    global _TRAIN_TRANSITION_IMPL
+    assert impl in ("gather", "kernel"), impl
+    _TRAIN_TRANSITION_IMPL = impl
+
+
+def get_train_transition_impl() -> str:
+    return _TRAIN_TRANSITION_IMPL
+
+
+def _apply_transition_kernel(xw, res, window, from_shift, to_shift):
+    from ..ops.swin_block_fused import window_transition_fused
+
+    dr, dc, P4 = transition_pieces(res, window, from_shift, to_shift)
+    return window_transition_fused(
+        xw, jnp.asarray(P4), (dr, dc, res // window)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _window_transition_kernel(
+    xw: jnp.ndarray, b: int, res: int, window: int, from_shift: int,
+    to_shift: int,
+) -> jnp.ndarray:
+    """_window_transition as a standalone Pallas permute kernel
+    (ops/swin_block_fused.py window_transition_fused): one read + one write of
+    x replaces XLA's transpose -> shared-index row gather -> transpose chain,
+    and the cotangent is the same kernel with the inverse transition (the
+    inverse of window_transition_perm(f, t) is window_transition_perm(t, f))."""
+    return _apply_transition_kernel(xw, res, window, from_shift, to_shift)
+
+
+def _wtk_fwd(xw, b, res, window, from_shift, to_shift):
+    return _apply_transition_kernel(
+        xw, res, window, from_shift, to_shift
+    ), None
+
+
+def _wtk_bwd(b, res, window, from_shift, to_shift, _, g):
+    return (_apply_transition_kernel(g, res, window, to_shift, from_shift),)
+
+
+_window_transition_kernel.defvjp(_wtk_fwd, _wtk_bwd)
+
+
+def _window_transition_train(
+    xw: jnp.ndarray, b: int, res: int, window: int, from_shift: int,
+    to_shift: int,
+) -> jnp.ndarray:
+    """Differentiable window transition for the train window-resident runner,
+    dispatching on the train-transition impl flag."""
+    if from_shift == to_shift:
+        return xw
+    if _TRAIN_TRANSITION_IMPL == "kernel" and res // window >= 2:
+        return _window_transition_kernel(
+            xw, b, res, window, from_shift, to_shift
+        )
+    return _window_transition_diff(xw, b, res, window, from_shift, to_shift)
+
+
+def _rel_bias_take(table, window: int):
+    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+    return jnp.take(table, idx, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _rel_bias_gather_fn(table, window: int):
     """Differentiable rel-pos-bias table gather whose backward is a one-hot
     MXU matmul instead of XLA's serialized scatter-add (measured on the v5e:
     18 Swin-L stage-2 bias gathers fwd+bwd drop 5.3 -> 3.5 ms). Exact up to
     f32 summation order (each table bucket accumulates its ~n^2/(2W-1)^2
-    cotangent rows through an fp32 dot with one-hot weights)."""
+    cotangent rows through an fp32 dot with one-hot weights).
+
+    A module-level custom_vjp (window static) — NOT a per-window closure
+    cached with lru_cache: a cached closure built while an outer jit trace is
+    live pins that trace's tracers in the cache and leaks them into later
+    traces (manifested as 'No constant handler for DynamicJaxprTracer' when
+    the scan branch lowered under a jitted train step)."""
+    return _rel_bias_take(table, window)
+
+
+def _rbg_fwd(table, window):
+    return _rel_bias_take(table, window), None
+
+
+def _rbg_bwd(window, _, g):
     nbuckets = (2 * window - 1) ** 2
-    idx = jnp.asarray(relative_position_index(window).reshape(-1))
+    idx = relative_position_index(window).reshape(-1)
+    onehot = jnp.asarray(
+        (np.arange(nbuckets)[:, None] == idx[None, :]).astype(np.float32)
+    )
+    return (onehot @ g.astype(jnp.float32),)
 
-    @jax.custom_vjp
-    def gather(table):
-        return jnp.take(table, idx, axis=0)
 
-    def fwd(table):
-        return gather(table), None
+_rel_bias_gather_fn.defvjp(_rbg_fwd, _rbg_bwd)
 
-    def bwd(_, g):
-        onehot = (jnp.arange(nbuckets)[:, None] == idx[None, :]).astype(
-            jnp.float32
-        )
-        return (onehot @ g.astype(jnp.float32),)
 
-    gather.defvjp(fwd, bwd)
-    return gather
+def _rel_bias_gather(window: int):
+    """Compatibility shim: returns a gather callable for `window`."""
+    return functools.partial(_rel_bias_gather_fn, window=window)
 
 
 def effective_window(cfg: SwinConfig, stage: int, block: int):
@@ -825,10 +909,10 @@ def _run_stage_fused_windows_train(
     if depth < 4:
         cur = 0
         for j in range(depth):
-            xw = _window_transition_diff(xw, b, res, window, cur, shifts[j])
+            xw = _window_transition_train(xw, b, res, window, cur, shifts[j])
             xw = block(blocks[j], xw, shifts[j], rngs.next(), stage_dpr[j])
             cur = shifts[j]
-        xw = _window_transition_diff(xw, b, res, window, cur, 0)
+        xw = _window_transition_train(xw, b, res, window, cur, 0)
     else:
         assert depth % 2 == 0 and shifts[0] == 0
         s = shifts[1]
@@ -847,9 +931,9 @@ def _run_stage_fused_windows_train(
         def body(carry, inp):
             pe, po, de, do, ke, ko = inp
             h = block(pe, carry, 0, ke if use_rng else None, de)
-            h = _window_transition_diff(h, b, res, window, 0, s)
+            h = _window_transition_train(h, b, res, window, 0, s)
             h = block(po, h, s, ko if use_rng else None, do)
-            h = _window_transition_diff(h, b, res, window, s, 0)
+            h = _window_transition_train(h, b, res, window, s, 0)
             return h, None
 
         xw, _ = jax.lax.scan(

@@ -557,6 +557,61 @@ def _transition_specs(x, p4, transition, n, c, weights, bias, mask, heads):
     return grid, in_specs, args, out_spec, W, dc
 
 
+def _transition_only_kernel(xa_ref, xb_ref, p4_ref, out_ref, *, W, n, c, dc):
+    out_ref[:] = _transition_strip(
+        xa_ref, xb_ref, p4_ref, W=W, n=n, c=c, dc=dc
+    ).reshape(W, n, c)
+
+
+@functools.partial(jax.jit, static_argnames=("transition",))
+def window_transition_fused(
+    x: jnp.ndarray, p4: jnp.ndarray, transition: tuple
+) -> jnp.ndarray:
+    """STANDALONE window-transition permutation as one Pallas kernel: grid of
+    one program per (image, output window-row); each program fetches its two
+    source window-rows via mod-index maps and emits P4 @ vstack(2x2 source
+    windows) one-hot MXU dots (models/swin.py transition_pieces — exact, one
+    1.0 term accumulated in fp32 per output row).
+
+    Used by the TRAINING window-resident stage runner, where the transition
+    cannot fold into the next block's kernel (the train kernels' custom VJPs
+    save the post-transition x): one read + one write of x at ~batch-major
+    layout replaces the XLA gather's transpose -> row-gather -> transpose
+    chain, and the VJP is the same kernel with the inverse transition."""
+    dr, dc, W = transition
+    bw, n, c = x.shape
+    assert bw % (W * W) == 0
+
+    def idx_row(k):
+        def f(t):
+            b = t // W
+            r = jnp.remainder(t % W + dr[k], W)
+            return (b * W + r, 0, 0)
+
+        return f
+
+    in_specs = [
+        pl.BlockSpec((W, n, c), idx_row(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, n, c), idx_row(1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, 4 * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(_transition_only_kernel, W=W, n=n, c=c, dc=dc),
+        grid=(bw // W,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (W, n, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bw * n * 4 * n * c,
+            bytes_accessed=3 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, x, p4.astype(x.dtype))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "num_windows", "scale", "eps", "transition"),

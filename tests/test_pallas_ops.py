@@ -135,6 +135,41 @@ def test_transition_pieces_reproduce_perm():
                     np.testing.assert_array_equal(P4 @ src, want[I * W + J])
 
 
+def test_window_transition_fused_kernel_matches_take():
+    """The standalone Pallas transition kernel (window_transition_fused) must
+    equal the XLA jnp.take transition BITWISE for every backbone geometry,
+    both shift directions, batch > 1, and its custom-VJP wrapper's backward
+    must equal the inverse transition (pure permutations both ways)."""
+    b = 2
+    for res, window, c in [(24, 12, 16), (16, 4, 8), (8, 4, 8)]:
+        n = window * window
+        nw = (res // window) ** 2
+        shift = window // 2
+        rng = np.random.default_rng(res)
+        x = jnp.asarray(
+            rng.standard_normal((b * nw, n, c)).astype(np.float32)
+        )
+        for f, t in [(0, shift), (shift, 0)]:
+            want = swin._window_transition(x, b, res, window, f, t)
+            got = swin._apply_transition_kernel(x, res, window, f, t)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+            # VJP: cotangent rides the inverse transition
+            g = jnp.asarray(
+                rng.standard_normal((b * nw, n, c)).astype(np.float32)
+            )
+            _, vjp = jax.vjp(
+                lambda y: swin._window_transition_kernel(
+                    y, b, res, window, f, t
+                ),
+                x,
+            )
+            (dx,) = vjp(g)
+            want_dx = swin._window_transition(g, b, res, window, t, f)
+            np.testing.assert_array_equal(
+                np.asarray(dx), np.asarray(want_dx)
+            )
+
+
 def test_attention_core_path_matches_xla(monkeypatch):
     """Blocks too big for even the half kernels (Swin-L stage 3) keep their
     GEMMs in XLA but run score/softmax/value through attention_core_fused.

@@ -321,6 +321,67 @@ def test_fused_train_deep_stage_scan_matches_xla():
         )
 
 
+def test_fused_train_deep_stage_lowers_under_outer_jit():
+    """The window-resident scan branch must lower inside an OUTER jit — the
+    real XE step is jitted. Regression: _rel_bias_gather used to lru_cache a
+    per-window custom_vjp closure; built while a jit trace was live, the
+    cache pinned that trace's tracers and every later jit of the scan branch
+    died in lowering with 'No constant handler for DynamicJaxprTracer'."""
+    cfg = dataclasses.replace(FUSED, depths=(2, 4), drop_path_rate=0.2)
+    params = swin.swin_init(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(8).standard_normal(
+            (2, 32, 32, 3), dtype=np.float32
+        )
+    )
+    key = jax.random.PRNGKey(2)
+
+    def f(p):
+        y = swin.swin_apply(p, cfg, imgs, train=True, rng=key)
+        return jnp.mean(y * y)
+
+    val_j, grads_j = jax.jit(jax.value_and_grad(f))(params)
+    val_e, _ = jax.value_and_grad(f)(params)
+    np.testing.assert_allclose(
+        np.asarray(val_j), np.asarray(val_e), rtol=1e-6
+    )
+    assert all(np.all(np.isfinite(g)) for g in jax.tree.leaves(grads_j))
+
+
+def test_fused_train_kernel_transitions_bitwise():
+    """Train-transition impl 'kernel' (standalone Pallas permute kernel with
+    inverse-kernel VJP) must reproduce the 'gather' impl BITWISE — both are
+    pure permutations of the same rows; values and grads."""
+    cfg = dataclasses.replace(FUSED, depths=(2, 4), drop_path_rate=0.2)
+    params = swin.swin_init(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(11).standard_normal(
+            (2, 32, 32, 3), dtype=np.float32
+        )
+    )
+    key = jax.random.PRNGKey(5)
+
+    def f(p):
+        y = swin.swin_apply(p, cfg, imgs, train=True, rng=key)
+        return jnp.mean(y * y)
+
+    prev = swin.get_train_transition_impl()
+    try:
+        swin.set_train_transition_impl("gather")
+        val_g, g_g = jax.value_and_grad(f)(params)
+        swin.set_train_transition_impl("kernel")
+        val_k, g_k = jax.value_and_grad(f)(params)
+    finally:
+        swin.set_train_transition_impl(prev)
+    np.testing.assert_array_equal(np.asarray(val_k), np.asarray(val_g))
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_g), jax.tree.leaves(g_k)
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(b), np.asarray(a), err_msg=str(path)
+        )
+
+
 def test_fused_train_window_resident_equals_per_block(monkeypatch):
     """The window-resident train runner must reproduce the per-block fused
     path BITWISE (shift transitions and their VJPs are pure data movement;
