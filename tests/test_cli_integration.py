@@ -296,6 +296,55 @@ def test_generate_features_and_end_to_end_evaluate(tmp_path):
     assert rc == 0
 
 
+def test_train_end_to_end_fused_swin(tmp_path):
+    """End-to-end XE training through cli/train.py with
+    --swin_attention_impl fused and a depth>=4 stage: the jitted train step
+    must lower through the window-resident fused-train scan branch
+    (regression for the _rel_bias_gather tracer leak, which only manifested
+    under an outer jit — exactly this CLI's step)."""
+    import json
+
+    from PIL import Image
+
+    from on_device_image_captioning_tpu.cli import train as train_cli
+
+    rng = np.random.default_rng(3)
+    img_dir = tmp_path / "v" / "img"
+    img_dir.mkdir(parents=True)
+    items = []
+    for i in range(6):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"i{i}.jpg")
+        items.append(
+            {
+                "cocoid": i, "filepath": "v", "filename": f"i{i}.jpg",
+                "split": "train" if i < 4 else "test",
+                "sentences": [{"raw": "a dog runs fast"}] * 2,
+            }
+        )
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({"images": items}))
+
+    save = str(tmp_path / "saves") + "/"
+    rc = train_cli.main(
+        [
+            "--dataset", "coco", "--annotations", str(ann),
+            "--images_path", str(tmp_path), "--is_end_to_end",
+            "--save_path", save, "--batch_size", "2", "--num_epochs", "1",
+            "--seed", "3", "--max_seq_len", "10",
+            "--model_dim", "32", "--N_enc", "1", "--N_dec", "1", "--ff",
+            "64", "--num_heads", "4", "--num_exp_enc_list", "4",
+            "--num_exp_dec", "4", "--img_feature_dim", "32",
+            "--swin_img_size", "32", "--swin_patch_size", "4",
+            "--swin_embed_dim", "16", "--swin_depths", "2", "4",
+            "--swin_num_heads", "2", "4", "--swin_window_size", "4",
+            "--swin_attention_impl", "fused",
+        ]
+    )
+    assert rc == 0
+    assert any(f.startswith("checkpoint_") for f in os.listdir(save))
+
+
 def test_evaluate_pruned_checkpoint(corpus, tmp_path):
     """--load_pruned evaluates a sparse checkpoint (reference test.py:455-459)."""
     import jax
