@@ -667,14 +667,20 @@ def _stage_fused_mode(stage, cfg: SwinConfig, c: int, dtype):
     return None
 
 
-def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
+def _run_stage_fused_windows(
+    stage, cfg: SwinConfig, x, i, dtype, mode, xw_in=None, emit_windows=False
+):
     """Inference stage execution in WINDOW-RESIDENT layout: x is partitioned
     into windows once at stage entry and stays there; the shift transitions
     between consecutive blocks run as single composed-permutation gathers
     (window_transition_perm) instead of the reverse -> roll -> partition
     relayout chains, and the position-wise MLP half runs directly on the
     window layout (row order is irrelevant to it). Deep stages scan over
-    (plain, shifted) block pairs like the XLA path."""
+    (plain, shifted) block pairs like the XLA path.
+
+    xw_in/emit_windows: the fused stage-boundary path (ops/stage_boundary.py)
+    hands stages their input already window-partitioned and consumes their
+    output in window layout, skipping the entry partition / exit reverse."""
     from ..ops.swin_block_fused import (
         get_transition_impl as sbf_get_transition_impl,
         swin_attn_half_fused,
@@ -682,12 +688,15 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
         swin_mlp_half_fused,
     )
 
-    b, l, c = x.shape
     res = cfg.stage_resolution(i)[0]
     heads = cfg.num_heads[i]
     window, _ = effective_window(cfg, i, 0)
     n = window * window
     num_windows = (res // window) ** 2
+    if xw_in is not None:
+        b, l, c = xw_in.shape[0] // num_windows, res * res, xw_in.shape[-1]
+    else:
+        b, l, c = x.shape
     dk = c // heads
     scale = float(cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5)
     idx = jnp.asarray(relative_position_index(window).reshape(-1))
@@ -721,7 +730,10 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
         )
         return swin_mlp_half_fused(xw, bp, cfg.ln_eps)
 
-    xw = _window_partition(x.reshape(b, res, res, c), window)
+    if xw_in is not None:
+        xw = xw_in
+    else:
+        xw = _window_partition(x.reshape(b, res, res, c), window)
     if dtype is not None:
         xw = xw.astype(dtype)
 
@@ -772,7 +784,113 @@ def _run_stage_fused_windows(stage, cfg: SwinConfig, x, i, dtype, mode):
                 return h, None
 
             xw, _ = jax.lax.scan(body, xw, (even, odd))
+    if emit_windows:
+        return xw
     return _window_reverse(xw, window, res, res).reshape(b, l, c)
+
+
+def _boundary_fused_plan(params, cfg: SwinConfig, images, train, dtype):
+    """Whether the whole inference backbone can run WINDOW-RESIDENT end to
+    end through the fused stage-boundary kernels (ops/stage_boundary.py):
+    patch embed emits window layout, every multi-window stage runs a fused
+    window-resident mode, every downsample merges window layout to window
+    layout (even window grids only), and single-window stages (Swin-L stage
+    3: 12x12 resolution == one window) pass through since their window
+    layout IS the flat layout. Returns the per-stage mode list or None."""
+    from ..ops import stage_boundary as sb
+
+    if train or cfg.attention_impl != "fused" or cfg.ape:
+        return None
+    if sb.get_boundary_impl() != "kernel":
+        return None
+    pe = params["patch_embed"]
+    if pe.get("norm") is None or "w" not in pe["proj"]:
+        return None
+    eff_dtype = dtype if dtype is not None else images.dtype
+    modes = []
+    for i in range(cfg.num_layers):
+        stage = params["stages"][i]
+        if len(stage["blocks"]) == 0:
+            return None
+        res = cfg.stage_resolution(i)[0]
+        window = effective_window(cfg, i, 0)[0]
+        if res % window:
+            return None
+        W = res // window
+        mode = _stage_fused_mode(stage, cfg, cfg.stage_dim(i), eff_dtype)
+        if W > 1 and mode is None:
+            return None
+        if "downsample" in stage:
+            if W % 2 or "w" not in stage["downsample"]["reduction"]:
+                return None
+            # the merged grid must tile the NEXT stage's window exactly
+            if (res // 2) % effective_window(cfg, i + 1, 0)[0]:
+                return None
+            if effective_window(cfg, i + 1, 0)[0] != window:
+                return None
+        modes.append(mode)
+    return modes
+
+
+def _swin_apply_window_resident(params, cfg: SwinConfig, images, dtype, modes):
+    """Inference forward with ALL stage boundaries fused (see
+    _boundary_fused_plan): activations enter window layout at the patch
+    embed kernel and only leave it at the final LayerNorm."""
+    from ..ops import stage_boundary as sb
+
+    b, h, w, cin = images.shape
+    ps = cfg.patch_size
+    window = effective_window(cfg, 0, 0)[0]
+    x = images.reshape(b, h // ps, ps, w // ps, ps, cin)
+    x_s2d = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h // ps, w // ps, ps * ps * cin
+    )
+    if dtype is not None:
+        x_s2d = x_s2d.astype(dtype)
+    xw = sb.patch_embed_fused(
+        x_s2d, params["patch_embed"]["proj"], params["patch_embed"]["norm"],
+        window, cfg.ln_eps,
+    )
+
+    total = sum(cfg.depths)
+    dpr = [cfg.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+    rngs = RngStream(None)
+    blk_idx = 0
+    for i in range(cfg.num_layers):
+        stage = params["stages"][i]
+        depth = cfg.depths[i]
+        stage_dpr = dpr[blk_idx : blk_idx + depth]
+        blk_idx += depth
+        res = cfg.stage_resolution(i)[0]
+        W = res // window
+        n = window * window
+        if modes[i] is not None:
+            xw = _run_stage_fused_windows(
+                stage, cfg, None, i, dtype, modes[i], xw_in=xw,
+                emit_windows=True,
+            )
+        else:
+            # single-window stage (W == 1): window layout == flat layout
+            x = _run_stage(
+                stage, cfg, xw.reshape(b, n, xw.shape[-1]), i, rngs, False,
+                stage_dpr, dtype, False,
+            )
+            xw = x.reshape(b, n, x.shape[-1])
+        if "downsample" in stage:
+            xw = sb.downsample_fused(
+                xw, stage["downsample"]["norm"], stage["downsample"]["reduction"],
+                W, window, cfg.ln_eps,
+            )
+    c_last = xw.shape[-1]
+    res_last = cfg.stage_resolution(cfg.num_layers - 1)[0]
+    W_last = res_last // window
+    if W_last > 1:
+        x = _window_reverse(xw, window, res_last, res_last).reshape(
+            b, res_last * res_last, c_last
+        )
+    else:
+        x = xw.reshape(b, window * window, c_last)
+    return layernorm(params["norm"], x, cfg.ln_eps)
 
 
 def _fused_train_mode(cfg: SwinConfig, p, c: int, train: bool, dtype):
@@ -1096,6 +1214,10 @@ def swin_apply(
     remat=True wraps each block in jax.checkpoint (the reference's
     swin_use_checkpoint flag, models/swin_transformer_mod.py:591-593).
     """
+    if not train:
+        modes = _boundary_fused_plan(params, cfg, images, train, dtype)
+        if modes is not None:
+            return _swin_apply_window_resident(params, cfg, images, dtype, modes)
     rngs = RngStream(rng)
     x = patch_embed(params["patch_embed"], cfg, images, dtype)
     if cfg.ape:

@@ -179,7 +179,12 @@ def main():
     print(f"{what} b{batch}: total self-time {total:.0f} us over 3 iters "
           f"-> {total / 3000:.2f} ms/iter")
     print(f"{'us':>10}  {'%':>5}  {'bound':12}  op")
-    for r in rows[:topn]:
+    cat_filter = os.environ.get("PROF_CAT")  # substring match on category
+    shown = [
+        r for r in rows
+        if not cat_filter or (cat_key and cat_filter in str(r.get(cat_key, "")))
+    ]
+    for r in shown[:topn]:
         t = float(r[key_time] or 0)
         nm = str(r.get(name_key, ""))[:110]
         bd = str(r.get(bound_key, ""))[:12] if bound_key else ""
