@@ -1673,73 +1673,87 @@ def _attn_bwd_no_mask(
 
 
 def _attn_bwd_emit_kernel(
-    x_ref, dx2_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    bias_ref, m1_ref, mask_ref,
-    dx_ref,  # out (wpb, n, c)
-    dg1_ref,  # out (1, c) f32 accumulated
-    dbe1_ref,  # out (1, c) f32
-    dbias_ref,  # out (H, n, n) f32
-    xn1_ref,  # out (wpb, n, c) cd — LN1 rows (dWqkv operand)
-    attn_ref,  # out (wpb, n, c) cd — attention rows (dWproj operand)
-    dqkv_ref,  # out (wpb, n, 3c) cd — per-row qkv grads
-    attn_scr,  # scratch (wpb*n, c) cd
-    *,
-    heads: int,
-    n: int,
-    wpb: int,
-    scale: float,
-    eps: float,
+    x_ref, dx2_ref, g1_ref, b1_ref, wqkv3_ref, bqkv3_ref, wprojr_ref,
+    bias_ref, m1_ref, *rest,
+    heads_g: int, n: int, wpb: int, scale: float, eps: float,
+    has_mask: bool, emit_xn1: bool,
 ):
-    """Emit variant of _attn_bwd_kernel for stages whose f32 weight-grad
-    accumulators don't fit scoped VMEM beside the weights (c=768: bf16
-    weights 4.5 MB + dWqkv/dWproj accums 9.4 MB + dbias 2 MB ~ 16-20 MB;
-    observed OOM at 20.07M vs the 16M budget on a fresh compile). Instead of
-    accumulating dW in-kernel, emit the per-row GEMM operands (LN1 rows,
-    attention rows, dqkv rows); the caller forms dWqkv/dWproj/db* as two
-    large row-major XLA GEMMs + row sums — bigger, cleaner MXU work than
-    per-strip accumulation, at the cost of streaming the intermediates
-    through HBM (~70 MB per stage-2 block call at b16; ~3 ms/step total)."""
+    """Head-sliced emit backward for stages whose f32 rel-bias tensor and its
+    gradient accumulator can't BOTH sit in scoped VMEM beside the weights.
+
+    At Swin-L stage 2 (c=768, heads=24, n=144) the bias and dbias are
+    7.96 MB EACH in f32; together with the 4.7 MB bf16 qkv/proj weights a
+    whole-heads kernel needs ~20 MB of scoped VMEM against the 16 MB budget
+    (measured: fresh compile of the b16 XE step fails at 20.03M — the
+    earlier all-heads emit variant only ever ran from stale compile-cache
+    entries). This kernel therefore handles one SLICE of heads_g heads per
+    pallas_call: the caller pre-slices the qkv weight (viewed as (c, 3, c))
+    and the proj rows so the per-slice GEMMs are an exact split of the full
+    ones (no redundant FLOPs), and runs G sequential calls. What no longer
+    fits in-kernel moves to XLA over the emitted rows: dxn1 (one big GEMM
+    over the concatenated dqkv slices), the LayerNorm backward, and the
+    weight/bias grads (same emit-GEMM scheme as before).
+
+    Per slice the kernel recomputes LN1 + its qkv slab + the attention
+    forward/backward for its heads (flash-style, from the saved x), emits
+    the forward attention rows (dWproj operand) and per-row dqkv grads, and
+    accumulates the bias gradient for its heads across the strip grid.
+    Recomputed-per-slice work (LN, dproj scaling) is O(rows*c) VPU — noise
+    next to the GEMMs. Reference semantics: the backward of
+    models/swin_transformer_mod.py:222-272's WindowAttention."""
+    rest = list(rest)
+    mask_ref = rest.pop(0) if has_mask else None
+    dbias_ref = rest.pop(0)
+    xn1_ref = rest.pop(0) if emit_xn1 else None
+    attn_ref = rest.pop(0)
+    dqkv3_ref = rest.pop(0)
+
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _zero():
-        dg1_ref[:] = jnp.zeros_like(dg1_ref)
-        dbe1_ref[:] = jnp.zeros_like(dbe1_ref)
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     c = x_ref.shape[-1]
-    dk = c // heads
+    chg = wprojr_ref.shape[0]  # heads_g * dk
+    dk = chg // heads_g
     rows = wpb * n
     x = x_ref[:].reshape(rows, c)
     cd = x.dtype
 
     # recompute forward internals (same discipline as _attn_bwd_kernel)
-    xhat, rstd = _ln_stats(x, eps)
+    xhat, _ = _ln_stats(x, eps)
     xn1 = (xhat * g1_ref[:] + b1_ref[:]).astype(cd)
-    xn1_ref[:] = xn1.reshape(wpb, n, c)
-    qkv = _linear(xn1, wqkv_ref, bqkv_ref)
-    _attention_rows(
-        qkv, attn_scr, bias_ref, mask_ref,
-        heads=heads, n=n, wpb=wpb, c=c, scale=scale,
-    )
-    attn_ref[:] = attn_scr[:].reshape(wpb, n, c)
+    if emit_xn1:
+        xn1_ref[:] = xn1.reshape(wpb, n, c)
+
+    wslab = wqkv3_ref[:]  # (c, 3, chg)
+    bslab = bqkv3_ref[:].astype(jnp.float32)  # (3, chg)
+
+    def part(j):
+        y = jnp.dot(
+            xn1, wslab[:, j, :].astype(cd), preferred_element_type=jnp.float32
+        )
+        return (y + bslab[j]).astype(cd)
+
+    qg, kg, vg = part(0), part(1), part(2)  # (rows, chg) each
 
     m1 = m1_ref[i, 0]
     dx2 = dx2_ref[:].reshape(rows, c).astype(jnp.float32)
     dproj = (dx2 * m1).astype(cd)
     dao = jax.lax.dot_general(
-        dproj, wproj_ref[:].astype(cd),
+        dproj, wprojr_ref[:].astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (rows, c) f32
+    )  # (rows, chg) f32
 
     for w in range(wpb):
         row0 = w * n
-        for h in range(heads):
+        for h in range(heads_g):
             col = h * dk
-            q = qkv[row0 : row0 + n, col : col + dk] * scale
-            k = qkv[row0 : row0 + n, c + col : c + col + dk]
-            v = qkv[row0 : row0 + n, 2 * c + col : 2 * c + col + dk]
+            q = qg[row0 : row0 + n, col : col + dk] * scale
+            k = kg[row0 : row0 + n, col : col + dk]
+            v = vg[row0 : row0 + n, col : col + dk]
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1747,8 +1761,19 @@ def _attn_bwd_emit_kernel(
             s = s + bias_ref[h]
             if mask_ref is not None:
                 s = s + mask_ref[w]
-            p = jax.nn.softmax(s, axis=-1)  # (n, n) f32
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            inv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            p = e * inv  # softmax (n, n) f32
             p_cd = p.astype(cd)
+            # forward attention rows (the dWproj GEMM operand), in the same
+            # folded form as the forward kernels' _attention_rows
+            ev = jax.lax.dot_general(
+                e.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            attn_ref[w, :, col : col + dk] = (ev * inv).astype(cd)
             dao_h = dao[row0 : row0 + n, col : col + dk].astype(cd)
             dp = jax.lax.dot_general(
                 dao_h, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1769,118 +1794,177 @@ def _attn_bwd_emit_kernel(
                 p_cd, dao_h, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dqkv_ref[w, :, col : col + dk] = dq.astype(cd)
-            dqkv_ref[w, :, c + col : c + col + dk] = dk_.astype(cd)
-            dqkv_ref[w, :, 2 * c + col : 2 * c + col + dk] = dv.astype(cd)
-
-    dqkv_cd = dqkv_ref[:].reshape(rows, 3 * c)
-    dxn1 = jax.lax.dot_general(
-        dqkv_cd, wqkv_ref[:].astype(cd),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (rows, c)
-    dx_ln, dgamma, dbeta = _ln_bwd(dxn1, xhat, rstd, g1_ref)
-    dg1_ref[:] += dgamma
-    dbe1_ref[:] += dbeta
-    dx_ref[:] = (dx2 + dx_ln).astype(dx_ref.dtype).reshape(wpb, n, c)
-
-
-def _attn_bwd_emit_no_mask(
-    x_ref, dx2_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref,
-    dx_ref, dg1, dbe1, dbias, xn1_ref, attn_ref, dqkv_ref, attn_scr,
-    *, heads, n, wpb, scale, eps,
-):
-    _attn_bwd_emit_kernel(
-        x_ref, dx2_ref, g1, b1, wqkv, bqkv, wproj, bproj, bias_ref, m1_ref,
-        None, dx_ref, dg1, dbe1, dbias, xn1_ref, attn_ref, dqkv_ref,
-        attn_scr, heads=heads, n=n, wpb=wpb, scale=scale, eps=eps,
-    )
+            dqkv3_ref[w, :, col : col + dk] = dq.astype(cd)
+            dqkv3_ref[w, :, chg + col : chg + col + dk] = dk_.astype(cd)
+            dqkv3_ref[w, :, 2 * chg + col : 2 * chg + col + dk] = dv.astype(cd)
 
 
 def _attn_bwd_resident_bytes(c: int, heads: int, n: int, itemsize: int) -> int:
     """Scoped-VMEM resident estimate of the ACCUMULATING backward kernel:
-    bf16 weights + f32 dW accumulators + f32 dbias."""
+    bf16 weights + f32 dW accumulators + f32 bias/dbias."""
     weights = (c * 3 * c + c * c) * itemsize
     accums = (c * 3 * c + c * c) * 4
-    return weights + accums + heads * n * n * 4
+    return weights + accums + 2 * heads * n * n * 4
+
+
+def _emit_groups(heads: int, n: int, c: int, wpb: int, itemsize: int) -> int:
+    """Fewest head slices G (a divisor of heads) whose per-call scoped-VMEM
+    resident estimate fits the budget. Dominant terms per slice: the f32
+    bias block + its f32 dbias accumulator, the sliced weight slabs, and the
+    double-buffered strip blocks. Stage-2 Swin-L (heads=24) lands on G=2."""
+    budget = 15 * 1024 * 1024 + 512 * 1024
+    dk = c // heads
+    # Mosaic stack-allocates the PER-UNROLLED-HEAD f32 temporaries of the
+    # attention backward (s, e, p, ds, dp, ...) at lane-padded width instead
+    # of fully reusing their slots: measured 25.70M scoped for 24 resident
+    # heads at stage-2 size whose block set is ~11.9M, i.e. ~0.58 MB/head at
+    # n=144. Budget 4 lane-padded (n, n) f32 arrays per unrolled (window,
+    # head) iteration; with the near-full budget this lands stage 2 on G=2
+    # (measured: compiles at ~13.8M actual vs the 16M limit; G=1 is 25.7M).
+    lanes = ((n + 127) // 128) * 128
+    for g in range(1, heads + 1):
+        if heads % g:
+            continue
+        hg = heads // g
+        chg = hg * dk
+        bias_b = 2 * hg * n * n * 4
+        w_b = (3 * c * chg + chg * c) * itemsize
+        strip_b = 2 * wpb * n * (
+            2 * c * itemsize  # x, dx2 strips in
+            + c * itemsize  # xn1 strip out
+            + 4 * chg * itemsize  # attn + dqkv3 strips out
+        )
+        temps_b = hg * wpb * n * lanes * 4 * 4
+        if bias_b + w_b + strip_b + temps_b + (1 << 20) <= budget:
+            return g
+    return heads
 
 
 def _attn_bwd_call_emit(
-    x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, wpb
+    x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, wpb,
+    force_groups=None,
 ):
     """Emit-variant driver: returns (dx, dwqkv, dbqkv, dwproj, dbproj, dg1,
-    dbe1, dbias) like _attn_bwd_call, forming the weight grads as XLA GEMMs
-    over the kernel-emitted rows."""
+    dbe1, dbias) like _attn_bwd_call, running G head-sliced kernels (see
+    _attn_bwd_emit_kernel) and forming dxn1, the LN backward, and the
+    weight grads as XLA GEMMs over the kernel-emitted rows."""
     bw, n, c = x.shape
+    cd = x.dtype
     mask_blocks = num_windows // wpb
+    itemsize = jnp.dtype(cd).itemsize
+    G = force_groups or _emit_groups(heads, n, c, wpb, itemsize)
+    assert heads % G == 0, (heads, G)
+    hg = heads // G
+    chg = hg * (c // heads)
+
+    wqkv_w = p["attn"]["qkv"]["w"]
+    wqkv3 = wqkv_w.astype(cd).reshape(c, 3, c)
+    bqkv3 = _bias_of(p["attn"]["qkv"], 3 * c).reshape(3, c)
+    wproj = p["attn"]["proj"]["w"].astype(cd)
+    bias_f = bias.astype(jnp.float32)
+    mask_f = None if mask is None else mask.astype(jnp.float32)
 
     def const(shape):
         return pl.BlockSpec(
             shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
         )
 
-    weights = [
-        p["norm1"]["scale"], p["norm1"]["bias"],
-        p["attn"]["qkv"]["w"].astype(x.dtype), _bias_of(p["attn"]["qkv"], 3 * c),
-        p["attn"]["proj"]["w"].astype(x.dtype), _bias_of(p["attn"]["proj"], c),
-    ]
-    strip = lambda: pl.BlockSpec(
-        (wpb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    in_specs = [
-        strip(), strip(),
-        *[const(w.shape) for w in weights],
-        const((heads, n, n)),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
-    args = [x, dx2, *weights, bias.astype(jnp.float32), m1s]
-    if mask is not None:
-        in_specs.append(
-            pl.BlockSpec(
-                (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
+    def strip(last):
+        return pl.BlockSpec(
+            (wpb, n, last), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        args.append(mask.astype(jnp.float32))
-        kernel = functools.partial(
-            _attn_bwd_emit_kernel, heads=heads, n=n, wpb=wpb, scale=scale,
-            eps=eps,
-        )
-    else:
-        kernel = functools.partial(
-            _attn_bwd_emit_no_mask, heads=heads, n=n, wpb=wpb, scale=scale,
-            eps=eps,
-        )
-    cd = x.dtype
-    dx, dg1, dbe1, dbias, xn1_r, attn_r, dqkv_r = pl.pallas_call(
-        kernel,
-        grid=(bw // wpb,),
-        in_specs=in_specs,
-        out_specs=[
-            strip(),
-            const((1, c)), const((1, c)), const((heads, n, n)),
-            strip(),
-            strip(),
-            pl.BlockSpec(
-                (wpb, n, 3 * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bw, n, c), x.dtype),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((bw, n, c), cd),
-            jax.ShapeDtypeStruct((bw, n, c), cd),
-            jax.ShapeDtypeStruct((bw, n, 3 * c), cd),
-        ],
-        scratch_shapes=[pltpu.VMEM((wpb * n, c), x.dtype)],
-        interpret=jax.default_backend() != "tpu",
-    )(*args)
 
+    dbias_sl, attn_sl, dqkv_sl = [], [], []
+    xn1_r = None
+    for g in range(G):
+        hsl = slice(g * hg, (g + 1) * hg)
+        csl = slice(g * chg, (g + 1) * chg)
+        emit_xn1 = g == 0
+        args = [
+            x, dx2, p["norm1"]["scale"], p["norm1"]["bias"],
+            wqkv3[:, :, csl], bqkv3[:, csl], wproj[csl, :], bias_f[hsl], m1s,
+        ]
+        in_specs = [
+            strip(c), strip(c), const((c,)), const((c,)),
+            const((c, 3, chg)), const((3, chg)), const((chg, c)),
+            const((hg, n, n)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        if mask_f is not None:
+            in_specs.append(
+                pl.BlockSpec(
+                    (wpb, n, n), lambda i: (i % mask_blocks, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(mask_f)
+        out_specs = [const((hg, n, n))]
+        out_shape = [jax.ShapeDtypeStruct((hg, n, n), jnp.float32)]
+        if emit_xn1:
+            out_specs.append(strip(c))
+            out_shape.append(jax.ShapeDtypeStruct((bw, n, c), cd))
+        out_specs += [strip(chg), strip(3 * chg)]
+        out_shape += [
+            jax.ShapeDtypeStruct((bw, n, chg), cd),
+            jax.ShapeDtypeStruct((bw, n, 3 * chg), cd),
+        ]
+        kernel = functools.partial(
+            _attn_bwd_emit_kernel, heads_g=hg, n=n, wpb=wpb, scale=scale,
+            eps=eps, has_mask=mask_f is not None, emit_xn1=emit_xn1,
+        )
+        outs = list(
+            pl.pallas_call(
+                kernel,
+                grid=(bw // wpb,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=jax.default_backend() != "tpu",
+            )(*args)
+        )
+        dbias_sl.append(outs.pop(0))
+        if emit_xn1:
+            xn1_r = outs.pop(0)
+        attn_sl.append(outs.pop(0))
+        dqkv_sl.append(outs.pop(0))
+
+    dbias = jnp.concatenate(dbias_sl, axis=0) if G > 1 else dbias_sl[0]
     rows = bw * n
     xn1_f = xn1_r.reshape(rows, c)
-    dqkv_f = dqkv_r.reshape(rows, 3 * c)
+    attn_f = (
+        jnp.concatenate(attn_sl, axis=-1) if G > 1 else attn_sl[0]
+    ).reshape(rows, c)
+    # each slice emits [dq_g | dk_g | dv_g] on its last dim; regroup to the
+    # original qkv column order [dq(c) | dk(c) | dv(c)]
+    if G > 1:
+        dqkv3 = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [sl[:, :, j * chg : (j + 1) * chg] for sl in dqkv_sl],
+                    axis=-1,
+                )
+                for j in range(3)
+            ],
+            axis=-1,
+        )
+    else:
+        dqkv3 = dqkv_sl[0]
+    dqkv_f = dqkv3.reshape(rows, 3 * c)
+
+    # dxn1 and the LayerNorm backward run in XLA over the emitted rows
+    dxn1 = jax.lax.dot_general(
+        dqkv_f, wqkv_w.astype(cd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, c) f32
+    xhat, rstd = _ln_stats(x.reshape(rows, c), eps)
+    dx_ln, dg1, dbe1 = _ln_bwd(dxn1, xhat, rstd, p["norm1"]["scale"])
+    dx = (
+        (dx2.reshape(rows, c).astype(jnp.float32) + dx_ln)
+        .astype(cd)
+        .reshape(bw, n, c)
+    )
+
     # per-row drop-path scale: m1s is per backward strip of wpb windows
     m1_rows = jnp.repeat(m1s, wpb * n, axis=0)  # (rows, 1)
     dproj = (dx2.reshape(rows, c).astype(jnp.float32) * m1_rows).astype(cd)
@@ -1890,8 +1974,7 @@ def _attn_bwd_call_emit(
     )
     dbqkv = jnp.sum(dqkv_f.astype(jnp.float32), axis=0, keepdims=True)
     dwproj = jax.lax.dot_general(
-        attn_r.reshape(rows, c), dproj,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        attn_f, dproj, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dbproj = jnp.sum(dproj.astype(jnp.float32), axis=0, keepdims=True)

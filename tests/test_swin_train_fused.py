@@ -263,6 +263,16 @@ def test_attn_bwd_emit_matches_accumulate():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=nm
         )
+    # force the head-sliced path (2 slices of 2 heads): the production
+    # stage-2 shape (heads=24, c=768) picks G=2 from the VMEM estimate, but
+    # at this tiny size the estimate lands on G=1 — slice explicitly so the
+    # weight-slab split, per-slice dbias accumulation, and slice
+    # concatenation are all exercised on CPU
+    sliced = sbf._attn_bwd_call_emit(*common, force_groups=2)
+    for nm, a, b in zip(names, base, sliced):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4, err_msg=nm
+        )
 
 
 def test_mlp_bwd_emit_matches_accumulate():
