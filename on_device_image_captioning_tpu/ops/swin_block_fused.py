@@ -1184,7 +1184,7 @@ def _block_kernel_train(
         qkv, attn_scr, bias_ref, mask_ref,
         heads=heads, n=n, wpb=wpb, c=c, scale=scale,
     )
-    m1 = m1_ref[pl.program_id(0), 0]
+    m1 = m1_ref[0, pl.program_id(0)]
     branch = _linear(attn_scr[:], wproj_ref, bproj_ref).astype(jnp.float32)
     x2 = (x.astype(jnp.float32) + m1 * branch).astype(x.dtype)
     x2_ref[:] = x2.reshape(wpb, n, c)
@@ -1192,7 +1192,7 @@ def _block_kernel_train(
     h2 = _ln(x2, g2_ref, b2_ref, eps)
     hidden = _linear(h2, wfc1_ref, bfc1_ref)
     hidden = _gelu_exact(hidden.astype(jnp.float32)).astype(hidden.dtype)
-    m2 = m2_ref[pl.program_id(0), 0]
+    m2 = m2_ref[0, pl.program_id(0)]
     mlp = _linear(hidden, wfc2_ref, bfc2_ref).astype(jnp.float32)
     out_ref[:] = (x2.astype(jnp.float32) + m2 * mlp).astype(x.dtype).reshape(
         wpb, n, c
@@ -1245,7 +1245,7 @@ def _train_fwd_call(x, p, bias, mask, m1s, m2s, heads, num_windows, scale, eps):
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [x, *weights, bias.astype(jnp.float32), m1s, m2s]
+    args = [x, *weights, bias.astype(jnp.float32), m1s.reshape(1, -1), m2s.reshape(1, -1)]
     if mask is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -1319,7 +1319,7 @@ def _mlp_bwd_kernel(
     ) + bfc1_ref[:].astype(jnp.float32)
     g = _gelu_exact(h1).astype(cd)
 
-    m2 = m2_ref[j, 0]
+    m2 = m2_ref[0, pl.program_id(0)]
     dmlp = (dy_ref[:].astype(jnp.float32) * m2).astype(cd)
     dw2_ref[:] += jax.lax.dot_general(
         g, dmlp, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -1384,7 +1384,7 @@ def _mlp_bwd_emit_kernel(
     g = _gelu_exact(h1).astype(cd)
     g_ref[:] = g
 
-    m2 = m2_ref[j, 0]
+    m2 = m2_ref[0, pl.program_id(0)]
     dmlp = (dy_ref[:].astype(jnp.float32) * m2).astype(cd)
     dg = jax.lax.dot_general(
         dmlp, wfc2_ref[:].astype(cd),
@@ -1449,7 +1449,7 @@ def _mlp_bwd_call_emit(x2, dy, p, m2_rows, eps, rpp):
             jax.ShapeDtypeStruct((rows, hidden), cd),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(x2, dy, *weights, m2_rows)
+    )(x2, dy, *weights, m2_rows.reshape(1, -1))
 
     # per-row drop-path scale: m2_rows holds one scalar per rpp-row block
     m2_per_row = jnp.repeat(m2_rows, rpp, axis=0)  # (rows, 1)
@@ -1523,7 +1523,7 @@ def _mlp_bwd_call(x2, dy, p, m2_rows, eps, rpp):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(x2, dy, *weights, m2_rows)
+    )(x2, dy, *weights, m2_rows.reshape(1, -1))
     return outs
 
 
@@ -1581,7 +1581,7 @@ def _attn_bwd_kernel(
         heads=heads, n=n, wpb=wpb, c=c, scale=scale,
     )
 
-    m1 = m1_ref[i, 0]
+    m1 = m1_ref[0, pl.program_id(0)]
     dx2 = dx2_ref[:].reshape(rows, c).astype(jnp.float32)
     dproj = (dx2 * m1).astype(cd)
     dbproj_ref[:] += jnp.sum(dproj.astype(jnp.float32), axis=0, keepdims=True)
@@ -1738,7 +1738,7 @@ def _attn_bwd_emit_kernel(
 
     qg, kg, vg = part(0), part(1), part(2)  # (rows, chg) each
 
-    m1 = m1_ref[i, 0]
+    m1 = m1_ref[0, pl.program_id(0)]
     dx2 = dx2_ref[:].reshape(rows, c).astype(jnp.float32)
     dproj = (dx2 * m1).astype(cd)
     dao = jax.lax.dot_general(
@@ -1812,15 +1812,17 @@ def _emit_groups(heads: int, n: int, c: int, wpb: int, itemsize: int) -> int:
     resident estimate fits the budget. Dominant terms per slice: the f32
     bias block + its f32 dbias accumulator, the sliced weight slabs, and the
     double-buffered strip blocks. Stage-2 Swin-L (heads=24) lands on G=2."""
-    budget = 15 * 1024 * 1024 + 512 * 1024
+    budget = 13 * 1024 * 1024
     dk = c // heads
     # Mosaic stack-allocates the PER-UNROLLED-HEAD f32 temporaries of the
     # attention backward (s, e, p, ds, dp, ...) at lane-padded width instead
-    # of fully reusing their slots: measured 25.70M scoped for 24 resident
-    # heads at stage-2 size whose block set is ~11.9M, i.e. ~0.58 MB/head at
-    # n=144. Budget 4 lane-padded (n, n) f32 arrays per unrolled (window,
-    # head) iteration; with the near-full budget this lands stage 2 on G=2
-    # (measured: compiles at ~13.8M actual vs the 16M limit; G=1 is 25.7M).
+    # of fully reusing their slots. Measured scoped-VMEM at stage-2 size
+    # (c=768, n=144) inside the real XE step: 24 resident heads 25.70M,
+    # 12 heads 17.23M, 8 heads compiles — so ~0.7 MB/head of stack temps on
+    # top of the block set (a standalone pallas_call of the same shape
+    # compiles at 12 heads; the step's surrounding scan costs ~1 MB more).
+    # Budget 6 lane-padded (n, n) f32 arrays per unrolled (window, head)
+    # iteration against a conservative 13M, which lands stage 2 on G=3.
     lanes = ((n + 127) // 128) * 128
     for g in range(1, heads + 1):
         if heads % g:
@@ -1834,7 +1836,7 @@ def _emit_groups(heads: int, n: int, c: int, wpb: int, itemsize: int) -> int:
             + c * itemsize  # xn1 strip out
             + 4 * chg * itemsize  # attn + dqkv3 strips out
         )
-        temps_b = hg * wpb * n * lanes * 4 * 4
+        temps_b = hg * wpb * n * lanes * 4 * 6
         if bias_b + w_b + strip_b + temps_b + (1 << 20) <= budget:
             return g
     return heads
@@ -1882,7 +1884,8 @@ def _attn_bwd_call_emit(
         emit_xn1 = g == 0
         args = [
             x, dx2, p["norm1"]["scale"], p["norm1"]["bias"],
-            wqkv3[:, :, csl], bqkv3[:, csl], wproj[csl, :], bias_f[hsl], m1s,
+            wqkv3[:, :, csl], bqkv3[:, csl], wproj[csl, :], bias_f[hsl],
+            m1s.reshape(1, -1),
         ]
         in_specs = [
             strip(c), strip(c), const((c,)), const((c,)),
@@ -2018,7 +2021,7 @@ def _attn_bwd_call(x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, w
         const((heads, n, n)),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [x, dx2, *weights, bias.astype(jnp.float32), m1s]
+    args = [x, dx2, *weights, bias.astype(jnp.float32), m1s.reshape(1, -1)]
     if mask is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -2068,8 +2071,11 @@ def _attn_bwd_call(x, dx2, p, bias, mask, m1s, heads, num_windows, scale, eps, w
 def _bwd_wpb(num_windows: int, n: int, c: int, total_windows: int) -> int:
     """Strip size for the backward kernel: half the forward target (the bwd
     holds fp32 dqkv scratch + fp32 weight-grad accumulators beside the
-    weights)."""
-    target = (_TARGET_ELEMS // 2) if total_windows < 1024 else (_TARGET_ELEMS // 4)
+    weights). Long grids get a quarter target: Mosaic pipelines their DMA
+    deeper, and the per-unrolled-(window, head) stack temporaries scale
+    with wpb — measured: stage-1 b32 (bw=512, wpb=2) overflows scoped VMEM
+    by 1 MB on a fresh compile, wpb=1 fits; b24 (bw=384, wpb=2) fits."""
+    target = (_TARGET_ELEMS // 2) if total_windows < 512 else (_TARGET_ELEMS // 4)
     return _largest_divisor_wpb(num_windows, n, c, target)
 
 
@@ -2180,7 +2186,7 @@ def _attn_half_kernel_train(
         qkv, attn_scr, bias_ref, mask_ref,
         heads=heads, n=n, wpb=wpb, c=c, scale=scale,
     )
-    m1 = m1_ref[pl.program_id(0), 0]
+    m1 = m1_ref[0, pl.program_id(0)]
     branch = _linear(attn_scr[:], wproj_ref, bproj_ref).astype(jnp.float32)
     out_ref[:] = (x.astype(jnp.float32) + m1 * branch).astype(x.dtype).reshape(
         wpb, n, c
@@ -2218,7 +2224,7 @@ def _attn_half_train_fwd_call(x, p, bias, mask, m1s, heads, num_windows, scale, 
         const((heads, n, n)),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [x, *weights, bias.astype(jnp.float32), m1s]
+    args = [x, *weights, bias.astype(jnp.float32), m1s.reshape(1, -1)]
     if mask is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -2314,7 +2320,7 @@ def _mlp_half_kernel_train(
     h = _ln(x2, g2_ref, b2_ref, eps)
     h = _linear(h, wfc1_ref, bfc1_ref)
     h = _gelu_exact(h.astype(jnp.float32)).astype(h.dtype)
-    m2 = m2_ref[pl.program_id(0), 0]
+    m2 = m2_ref[0, pl.program_id(0)]
     mlp = _linear(h, wfc2_ref, bfc2_ref).astype(jnp.float32)
     out_ref[:] = (x2.astype(jnp.float32) + m2 * mlp).astype(x2.dtype)
 
@@ -2344,7 +2350,7 @@ def _mlp_half_train_fwd_call(x2, p, m2_rows, eps, rpp):
         out_specs=pl.BlockSpec((rpp, c), lambda j: (j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(x2, *weights, m2_rows)
+    )(x2, *weights, m2_rows.reshape(1, -1))
 
 
 def _mlp_half_train(x2, p, m2, eps, rows_per_image):
