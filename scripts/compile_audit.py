@@ -1,0 +1,139 @@
+"""Fresh-compile audit of every production graph (run after kernel changes).
+
+Round 3 found that the b16-b32 end-to-end XE training step had NEVER
+compiled fresh: scoped-VMEM / SMEM overflows in the fused Swin train
+kernels were masked by the persistent compilation cache, so throughput was
+being measured on executables whose HLO could no longer be rebuilt. This
+script compiles (AOT — `.lower().compile()`, no execution) each production
+graph against a THROWAWAY cache directory, so stale entries cannot mask a
+regression. Run it on the real TPU after touching ops/swin_block_fused.py,
+ops/stage_boundary.py, ops/dyn_exp_step.py, or the train step.
+
+    python scripts/compile_audit.py [--quick]
+
+--quick compiles one training and one inference config instead of the full
+matrix (the full matrix takes tens of minutes over the tunnel).
+"""
+import os
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# throwaway cache: every compile below is a real fresh compile
+jax.config.update("jax_compilation_cache_dir", tempfile.mkdtemp(prefix="audit_"))
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_cases(quick: bool):
+    from on_device_image_captioning_tpu.config import (
+        DecodeConfig, end_expansionnet_v2_coco,
+    )
+    from on_device_image_captioning_tpu.decode import beam_search as bs
+    from on_device_image_captioning_tpu.decode.cache import set_dyn_step_impl
+    from on_device_image_captioning_tpu.models import end_to_end
+    from on_device_image_captioning_tpu.train.radam import radam
+    from on_device_image_captioning_tpu.train.train_step import (
+        init_train_state, make_xe_step,
+    )
+    from on_device_image_captioning_tpu.utils.image import normalize_on_device
+
+    set_dyn_step_impl("pallas")
+    cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(
+        cfg, swin=dataclasses.replace(cfg.swin, attention_impl="fused")
+    )
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    cases = []
+
+    def train_case(batch):
+        cfg_t = dataclasses.replace(
+            cfg, swin=dataclasses.replace(cfg.swin, drop_path_rate=0.1)
+        )
+        opt = radam(2e-5)
+        state = init_train_state(params, opt)
+        step = jax.jit(make_xe_step(cfg_t, opt, end_to_end_model=True, remat=True))
+        batch_data = {
+            "enc_input": jnp.asarray(
+                rng.standard_normal((batch, 384, 384, 3), dtype=np.float32)
+            ),
+            "captions": jnp.asarray(
+                rng.integers(0, cfg.captioner.vocab_size, (batch, 28)), jnp.int32
+            ),
+        }
+        return lambda: step.lower(state, batch_data, jax.random.PRNGKey(1)).compile()
+
+    def infer_case(batch, beam, max_len, quant):
+        p = params
+        if quant != "none":
+            from on_device_image_captioning_tpu.deploy.quantization import (
+                quantize_tree,
+            )
+
+            p = quantize_tree(params, mode=quant)
+        dcfg = DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=max_len)
+        images = jnp.asarray(
+            rng.integers(0, 256, (batch, 384, 384, 3), np.uint8)
+        )
+
+        @jax.jit
+        def fn(p, x):
+            enc = end_to_end.forward_enc(p, cfg, normalize_on_device(x))
+            res = bs.beam_search(
+                p["captioner"], cfg.captioner, enc, dcfg,
+                rng=jax.random.PRNGKey(1), dtype=cfg.compute_dtype,
+            )
+            return res.tokens
+
+        return lambda: fn.lower(p, images).compile()
+
+    if quick:
+        cases.append(("xe_train_b16_remat", train_case(16)))
+        cases.append(("infer_b32_beam3_L20", infer_case(32, 3, 20, "none")))
+    else:
+        for b in (16, 24, 32):
+            cases.append((f"xe_train_b{b}_remat", train_case(b)))
+        cases.append(("infer_b32_beam3_L20", infer_case(32, 3, 20, "none")))
+        cases.append(("infer_b64_beam3_L20", infer_case(64, 3, 20, "none")))
+        cases.append(("infer_b1_beam5_L74_p50", infer_case(1, 5, 74, "none")))
+        cases.append(("infer_b64_beam3_L20_w8", infer_case(64, 3, 20, "w8")))
+    return cases
+
+
+def main():
+    quick = "--quick" in sys.argv
+    cases = build_cases(quick)
+    failed = []
+    for name, thunk in cases:
+        t0 = time.perf_counter()
+        try:
+            thunk()
+            print(f"PASS {name} ({time.perf_counter() - t0:.0f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            msg = str(e).splitlines()
+            head = next(
+                (l for l in msg if "memory" in l.lower() or "error" in l.lower()),
+                msg[0] if msg else repr(e),
+            )
+            print(f"FAIL {name}: {head[:300]}", flush=True)
+            failed.append(name)
+            if os.environ.get("AUDIT_TRACE"):
+                traceback.print_exc()
+    print(f"\n{len(cases) - len(failed)}/{len(cases)} fresh compiles pass")
+    if failed:
+        print("failed:", ", ".join(failed))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
