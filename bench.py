@@ -80,6 +80,8 @@ def main():
         from on_device_image_captioning_tpu.deploy.quantization import quantize_tree
 
         params = jax.device_put(quantize_tree(params, quant))
+    # pre-expand the Swin rel-pos biases (saves the per-call gather+relayout)
+    params = end_to_end.prepare_inference_params(params, cfg)
 
     from on_device_image_captioning_tpu.deploy.quantization import dequantize_tree
 

@@ -42,9 +42,12 @@ class Captioner:
         cfg: Union[ModelConfig, CaptionerConfig],
         beam_search_args: Optional[dict] = None,
     ):
+        self.end_to_end = isinstance(cfg, ModelConfig)
+        if self.end_to_end and "swin" in params and "stages" in params["swin"]:
+            # inference wrapper: pre-expand the Swin rel-pos biases once
+            params = end_to_end.prepare_inference_params(params, cfg)
         self.params = params
         self.cfg = cfg
-        self.end_to_end = isinstance(cfg, ModelConfig)
         self.cap_cfg = cfg.captioner if self.end_to_end else cfg
         self.beam_search_args = dict(beam_search_args or {})
         self.beam_search_args.setdefault("sos_idx", self.cap_cfg.sos_idx)

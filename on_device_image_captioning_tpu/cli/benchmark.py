@@ -129,6 +129,8 @@ def main(argv=None):
             dtype=np.uint8,
         )
     )
+    # after the param-count/sparsity reports: pre-expand Swin rel-pos biases
+    params = end_to_end.prepare_inference_params(params, cfg)
     params = jax.device_put(params)
     if args.trace:
         from ..utils.profiling import trace

@@ -83,6 +83,7 @@ def main(argv=None):
         ),
     )
     params = load_params(args.load_path, cfg)
+    params = end_to_end.prepare_inference_params(params, cfg)
     print("Model loaded ...", flush=True)
 
     dcfg = DecodeConfig(

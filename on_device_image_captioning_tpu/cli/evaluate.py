@@ -336,6 +336,17 @@ def main(argv=None):
         else:
             params = quantize_tree(params, args.quantize)
 
+    # end-to-end trees: pre-expand the Swin rel-pos biases for inference
+    # (features-in captioner trees have no "swin" and need no preparation)
+    from ..models import end_to_end
+
+    def _prep(p):
+        return (
+            end_to_end.prepare_inference_params(p, cfg) if "swin" in p else p
+        )
+
+    params = [_prep(p) for p in params] if isinstance(params, list) else _prep(params)
+
     from ..decode.cache import set_dyn_step_impl
     from ..parallel import mesh as pm
 

@@ -66,6 +66,7 @@ def main(argv=None):
     else:
         print("WARNING: random backbone weights (no checkpoint given)", flush=True)
         params = swin_mod.swin_init(jax.random.PRNGKey(0), swin_cfg)
+    params = swin_mod.prepare_inference_params(params, swin_cfg)
 
     @jax.jit
     def extract(params, images_u8):

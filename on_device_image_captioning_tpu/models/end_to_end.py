@@ -26,6 +26,13 @@ def init(rng, cfg: ModelConfig):
     }
 
 
+def prepare_inference_params(params, cfg: ModelConfig):
+    """Copy of an end-to-end params tree with the Swin rel-pos biases
+    pre-expanded for inference (swin.prepare_inference_params — ~2.4 ms/fwd
+    at b32 saved). Inference only; never feed to a train step or save."""
+    return {**params, "swin": swin.prepare_inference_params(params["swin"], cfg.swin)}
+
+
 def forward_enc(
     params,
     cfg: ModelConfig,

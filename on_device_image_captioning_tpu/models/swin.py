@@ -313,6 +313,54 @@ def _rel_bias_gather(window: int):
     return functools.partial(_rel_bias_gather_fn, window=window)
 
 
+def expand_rel_bias(table, window: int):
+    """(table, heads) rel-pos table -> the (heads, n, n) f32 bias tensor the
+    attention paths consume (same take/reshape/transpose the per-call path
+    runs, so values are bit-identical)."""
+    n = window * window
+    heads = table.shape[-1]
+    return (
+        _rel_bias_take(table, window)
+        .reshape(n, n, heads)
+        .transpose(2, 0, 1)
+        .astype(jnp.float32)
+    )
+
+
+def prepare_inference_params(params, cfg: SwinConfig):
+    """Returns a copy of a Swin params tree with each block's relative-
+    position bias PRE-EXPANDED to `rel_bias_x` (the (heads, n, n) f32 tensor
+    attention consumes). The per-call gather + (n, n, heads)->(heads, n, n)
+    relayout of every block's bias is ~2.4 ms/fwd at b32 on the v5e (HLO
+    profile: the f32[144,144,h] transpose-copies and their gathers are most
+    of the backbone's 'data formatting' bucket), re-done on every call even
+    though it only depends on the params. Inference paths use `rel_bias_x`
+    when present; values are bit-identical to the per-call expansion.
+
+    INFERENCE ONLY: training grads flow to the table (`rel_bias`), so feeding
+    prepared params to a train step would silently train a stale copy; don't
+    save prepared trees to checkpoints either. Footprint: ~47 MB f32 for
+    Swin-L/384. The reference recomputes the gather per forward
+    (models/swin_transformer_mod.py:241-247); on TPU the relayout is the
+    cost, so it's hoisted."""
+    params = dict(params)
+    stages = []
+    for i, stage in enumerate(params["stages"]):
+        stage = dict(stage)
+        blocks = []
+        for j, bp in enumerate(stage["blocks"]):
+            window, _ = effective_window(cfg, i, j)
+            bp = dict(bp)
+            attn = dict(bp["attn"])
+            attn["rel_bias_x"] = expand_rel_bias(attn["rel_bias"], window)
+            bp["attn"] = attn
+            blocks.append(bp)
+        stage["blocks"] = blocks
+        stages.append(stage)
+    params["stages"] = stages
+    return params
+
+
 def effective_window(cfg: SwinConfig, stage: int, block: int):
     """Per-block (window_size, shift_size): when the stage resolution is <= the
     window, the whole grid is one window and the shift is disabled
@@ -451,9 +499,12 @@ def window_attention(
             qkv = qkv + p["qkv"]["b"].astype(qkv.dtype)
         if dtype is not None:
             qkv = qkv.astype(dtype)
-    idx = jnp.asarray(relative_position_index(window).reshape(-1))
-    bias = jnp.take(p["rel_bias"], idx, axis=0).reshape(n, n, num_heads)
-    bias = bias.transpose(2, 0, 1)  # (h, n, n)
+    if "rel_bias_x" in p:  # pre-expanded (prepare_inference_params)
+        bias = p["rel_bias_x"]
+    else:
+        idx = jnp.asarray(relative_position_index(window).reshape(-1))
+        bias = jnp.take(p["rel_bias"], idx, axis=0).reshape(n, n, num_heads)
+        bias = bias.transpose(2, 0, 1)  # (h, n, n)
 
     if impl == "fused" and not train:
         # block wasn't kernel-eligible (Swin-L stage 3: 1536-dim weights
@@ -627,9 +678,12 @@ def _swin_block_fused_path(
     if dtype is not None:
         xw = xw.astype(dtype)
 
-    idx = jnp.asarray(relative_position_index(window).reshape(-1))
-    bias = jnp.take(p["attn"]["rel_bias"], idx, axis=0).reshape(n, n, heads)
-    bias = bias.transpose(2, 0, 1)
+    if "rel_bias_x" in p["attn"]:  # pre-expanded (prepare_inference_params)
+        bias = p["attn"]["rel_bias_x"]
+    else:
+        idx = jnp.asarray(relative_position_index(window).reshape(-1))
+        bias = jnp.take(p["attn"]["rel_bias"], idx, axis=0).reshape(n, n, heads)
+        bias = bias.transpose(2, 0, 1)
     dk = c // heads
     scale = cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5
     num_windows = (res // window) ** 2
@@ -712,7 +766,9 @@ def _run_stage_fused_windows(
             jnp.asarray(shift_attn_mask(res, window, shift)) if shift > 0 else None
         )
         bias = (
-            jnp.take(bp["attn"]["rel_bias"], idx, axis=0)
+            bp["attn"]["rel_bias_x"]
+            if "rel_bias_x" in bp["attn"]
+            else jnp.take(bp["attn"]["rel_bias"], idx, axis=0)
             .reshape(n, n, heads)
             .transpose(2, 0, 1)
         )

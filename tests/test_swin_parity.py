@@ -133,3 +133,28 @@ def test_window_transition_perm_matches_relayout_chain():
         want = layout(unlayout(src, f), t)
         got = swin._window_transition(src, 2, res, window, f, t)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_prepare_inference_params_bit_identical():
+    """prepare_inference_params pre-expands each block's rel-pos bias into
+    `rel_bias_x`; outputs must be BIT-identical to the per-call gather path
+    for both attention impls (the expansion runs the same take/reshape/
+    transpose the forward would, just once)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).standard_normal((2, 32, 32, 3), dtype=np.float32)
+    for impl in ("xla", "fused"):
+        cfg = dataclasses.replace(TINY, attention_impl=impl)
+        params = swin.swin_init(jax.random.PRNGKey(0), cfg)
+        prep = swin.prepare_inference_params(params, cfg)
+        # original tree untouched; every block gained exactly one key
+        for st, stp in zip(params["stages"], prep["stages"]):
+            for bp, bpp in zip(st["blocks"], stp["blocks"]):
+                assert "rel_bias_x" not in bp["attn"]
+                assert set(bpp["attn"]) == set(bp["attn"]) | {"rel_bias_x"}
+        a = swin.swin_apply(params, cfg, jnp.asarray(x), dtype=jnp.float32)
+        b = swin.swin_apply(prep, cfg, jnp.asarray(x), dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
