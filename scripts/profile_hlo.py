@@ -44,6 +44,8 @@ def build(what, batch):
         cfg, swin=dataclasses.replace(cfg.swin, attention_impl="fused")
     )
     params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    if what != "train":  # inference graphs run with pre-expanded rel biases
+        params = end_to_end.prepare_inference_params(params, cfg)
     images = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (batch, 384, 384, 3), np.uint8)
     )
