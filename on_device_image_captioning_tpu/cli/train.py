@@ -65,6 +65,15 @@ def parse_args(argv=None):
     p.add_argument("--num_samples", type=int, default=5,
                    help="SCST samples per image (reference train.py:146-151)")
     p.add_argument("--scst_max_len", type=int, default=20)
+    p.add_argument("--scst_dropout", action="store_true",
+                   help="apply dropout/drop-path during the SCST re-score "
+                        "forward (an INDEPENDENT draw around the no-dropout "
+                        "sampling policy, approximating the reference's "
+                        "dropout-active sampling forward, train.py:124-172). "
+                        "Default off: the re-score reproduces the sampling "
+                        "logprobs exactly, giving the unbiased REINFORCE "
+                        "gradient for the policy the captions were actually "
+                        "sampled from (see train/train_step.py)")
     # data
     p.add_argument("--dataset", choices=["coco", "vizwiz"], default="coco")
     p.add_argument("--annotations", type=str, required=True)
@@ -410,7 +419,7 @@ def main(argv=None):
                 return scst_inner(
                     state, arrays,
                     {"tokens": sampled.tokens, "lengths": sampled.lengths},
-                    rewards, rng_g,
+                    rewards, rng_g if args.scst_dropout else None,
                 )
 
     def materialize_enc_input(batch):
@@ -499,7 +508,7 @@ def main(argv=None):
                 state, arrays,
                 {"tokens": sampled.tokens, "lengths": sampled.lengths},
                 pm.shard_batch(jnp.asarray(rewards), mesh),
-                sub2,
+                sub2 if args.scst_dropout else None,
             )
             running.append(float(metrics["reward"]))
 

@@ -1161,8 +1161,8 @@ def _block_kernel_train(
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
     bias_ref,
-    m1_ref,  # (strips, 1) f32 SMEM (whole array): drop-path scale, attn branch
-    m2_ref,  # (strips, 1) f32 SMEM (whole array): drop-path scale, MLP branch
+    m1_ref,  # (1, strips) f32 SMEM (whole array): drop-path scale, attn branch
+    m2_ref,  # (1, strips) f32 SMEM (whole array): drop-path scale, MLP branch
     mask_ref,
     out_ref,
     x2_ref,  # out (wpb, n, c): mid-block residual, saved for the backward
@@ -1225,7 +1225,7 @@ def _train_weights(p, dtype):
 
 
 def _train_fwd_call(x, p, bias, mask, m1s, m2s, heads, num_windows, scale, eps):
-    """Forward pallas_call for training: returns (y, x2). m1s/m2s: (strips, 1)
+    """Forward pallas_call for training: returns (y, x2). m1s/m2s: (strips,)
     f32 per-strip stochastic-depth scales."""
     bw, n, c = x.shape
     wpb = train_fwd_wpb(num_windows, n, c, bw)
@@ -1287,7 +1287,7 @@ def _mlp_bwd_kernel(
     x2_ref,  # (rpp, c)
     dy_ref,  # (rpp, c)
     g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    m2_ref,  # (blocks, 1) f32 SMEM (whole array)
+    m2_ref,  # (1, blocks) f32 SMEM (whole array)
     dx2_ref,  # out (rpp, c)
     dw1_ref,  # out (c, hidden) f32, accumulated
     db1_ref,  # out (1, hidden) f32
@@ -1352,7 +1352,7 @@ def _mlp_bwd_emit_kernel(
     x2_ref,  # (rpp, c)
     dy_ref,  # (rpp, c)
     g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    m2_ref,  # (blocks, 1) f32 SMEM
+    m2_ref,  # (1, blocks) f32 SMEM
     dx2_ref,  # out (rpp, c)
     dg2_ref,  # out (1, c) f32 accumulated
     dbe2_ref,  # out (1, c) f32
@@ -1535,7 +1535,7 @@ def _attn_bwd_kernel(
     dx2_ref,  # (wpb, n, c) grad wrt the mid-block residual
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     bias_ref,  # (H, n, n) f32
-    m1_ref,  # (strips, 1) f32 SMEM (whole array)
+    m1_ref,  # (1, strips) f32 SMEM (whole array)
     mask_ref,  # (wpb, n, n) f32 or None
     dx_ref,  # out (wpb, n, c)
     dwqkv_ref,  # out (c, 3c) f32 accumulated
@@ -1811,7 +1811,7 @@ def _emit_groups(heads: int, n: int, c: int, wpb: int, itemsize: int) -> int:
     """Fewest head slices G (a divisor of heads) whose per-call scoped-VMEM
     resident estimate fits the budget. Dominant terms per slice: the f32
     bias block + its f32 dbias accumulator, the sliced weight slabs, and the
-    double-buffered strip blocks. Stage-2 Swin-L (heads=24) lands on G=2."""
+    double-buffered strip blocks. Stage-2 Swin-L (heads=24) lands on G=3."""
     budget = 13 * 1024 * 1024
     dk = c // heads
     # Mosaic stack-allocates the PER-UNROLLED-HEAD f32 temporaries of the

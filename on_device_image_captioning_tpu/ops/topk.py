@@ -8,7 +8,14 @@ k <= 8 an iterative max-and-mask scan (k passes of lane-reduce max + argmax
 + mask) touches the row k times with no sorting machinery, entirely in VMEM.
 
 Tie-breaking matches lax.top_k exactly (equal values -> lowest index first),
-so beam choices are bit-identical; see tests/test_pallas_ops.py.
+so beam choices are bit-identical; see tests/test_pallas_ops.py. Degenerate
+rows are handled by an explicit chosen-index mask: rows with fewer than k
+finite entries (heavily masked vocab) still return DISTINCT ascending
+indices for the -inf tail, matching lax.top_k, instead of re-picking the
+first -inf position (value-masking with -inf is a no-op there). Rows whose
+max is NaN return the lowest unchosen index per pick — indices are always
+in-range and distinct; NaN *ordering* is implementation-defined in XLA's
+top_k too, so only the index-validity contract is promised there.
 """
 from __future__ import annotations
 
@@ -28,13 +35,25 @@ def _kernel(x_ref, vals_ref, idx_ref, *, k: int, V: int):
     r = vals.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (r, V), 1)
     neg = jnp.float32(-jnp.inf)
+    chosen = jnp.zeros((r, V), jnp.bool_)
     for j in range(k):
-        m = jnp.max(vals, axis=-1, keepdims=True)
-        # lowest index among the maxima (lax.top_k's tie-break)
-        idx = jnp.min(jnp.where(vals == m, iota, V), axis=-1, keepdims=True)
+        avail = jnp.where(chosen, neg, vals)
+        m = jnp.max(avail, axis=-1, keepdims=True)
+        # lowest UNCHOSEN index among the maxima (lax.top_k's tie-break);
+        # the chosen mask keeps -inf re-picks distinct where value-masking
+        # would be a no-op
+        idx = jnp.min(
+            jnp.where((avail == m) & ~chosen, iota, V), axis=-1, keepdims=True
+        )
+        # NaN max: the value match selects nothing -> lowest unchosen index,
+        # keeping indices in-range and distinct
+        fallback = jnp.min(
+            jnp.where(~chosen, iota, V), axis=-1, keepdims=True
+        )
+        idx = jnp.where(idx == V, fallback, idx)
         vals_ref[:, j] = m[:, 0].astype(vals_ref.dtype)
         idx_ref[:, j] = idx[:, 0]
-        vals = jnp.where(iota == idx, neg, vals)
+        chosen = chosen | (iota == idx)
 
 
 def _rows_per_block(rows: int, V: int) -> int:

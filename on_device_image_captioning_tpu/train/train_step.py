@@ -104,15 +104,22 @@ def make_scst_step(
     'lengths': (B, N) index of first EOS}; `rewards`: (B, N) CIDEr scores computed
     on host between the sampling call and this step. The teacher-forced re-score
     runs the same decoder over the sampled captions, giving the REINFORCE
-    gradient without differentiating the decode loop. Like the reference, the
-    model runs in TRAIN mode here (reference train.py:124-172 backprops
-    through its sampling forward with the module in train(), dropout active);
-    with the recipe's nonzero SCST dropout the re-scored logprobs are a
-    dropout draw around the sampling logprobs — the same-gradient-in-
-    expectation REINFORCE estimator — and with dropout 0 they reproduce the
-    sampling logprobs exactly. Train mode also routes the backbone through
-    the fused-train custom-VJP kernels (the inference kernels are not
-    differentiable).
+    gradient without differentiating the decode loop. The forward runs in
+    TRAIN mode so the backbone routes through the fused-train custom-VJP
+    kernels (the inference kernels are not differentiable), but by default
+    `rng=None` keeps dropout/drop-path OFF: the re-scored logprobs then
+    reproduce the sampling logprobs exactly, so the estimator is the
+    textbook unbiased REINFORCE gradient for the (eval-mode) policy the
+    captions were actually sampled from. Passing an rng (cli/train.py
+    --scst_dropout) instead applies an INDEPENDENT dropout draw to the
+    re-score — closer in spirit to the reference, whose sampling forward
+    runs with dropout active and is backpropped directly
+    (train.py:124-172) — but since our samples come from the no-dropout
+    policy while the gradient is of a dropout-noised logprob, that
+    estimator carries a policy mismatch the reference's does not; it is
+    exact only at dropout 0. (Reproducing the reference's estimator
+    exactly would require sampling under the same dropout masks as the
+    re-score, which the incremental decode kernels do not support.)
     """
     if end_to_end_model:
         model_cfg: ModelConfig = cfg

@@ -11,9 +11,13 @@
 #
 # Integrity: every download is sha256-verified against scripts/scorer_jars.sha256
 # (the jars are EXECUTED by the scorers, so a tampered mirror would mean
-# arbitrary code execution). If the pin file has no entry yet, the checksum is
-# computed, appended, and reported — pin on a trusted network once, then every
-# later fetch (and every other machine using the committed pin file) verifies.
+# arbitrary code execution). The repo SHIPS NO PINS (the build environment has
+# no network access to compute them), so by default the model is
+# trust-on-first-use PER PIN FILE: the first fetch appends the observed
+# checksum — verify it out-of-band against a trusted copy — and later fetches
+# anywhere that share the pin file verify against it. Set
+# SCORER_JARS_REQUIRE_PINS=1 to refuse any download without a pre-existing
+# pin (CI / production posture).
 #
 # Layout produced (matches what the jars' manifests expect):
 #   DEST/meteor-1.5.jar          + DEST/data/paraphrase-en.gz
@@ -31,12 +35,19 @@ cd "$DEST"
 # fetch_verified URL FILENAME — download + sha256-check against the pin file
 fetch_verified() {
     url="$1"; out="$2"
+    # exact-field filename match (no regex: '.' in jar names must not wildcard)
+    pinned="$(awk -v f="$out" '$2 == f { print $1; exit }' "$PINS" 2>/dev/null || true)"
+    if [ -z "$pinned" ] && [ -n "${SCORER_JARS_REQUIRE_PINS:-}" ]; then
+        echo "No pin for $out in $PINS and SCORER_JARS_REQUIRE_PINS is set." >&2
+        echo "Populate the pin file from a trusted fetch first." >&2
+        exit 1
+    fi
     wget -q "$url" -O "$out"
     sum="$(sha256sum "$out" | cut -d' ' -f1)"
-    pinned="$(grep -E "  $out\$" "$PINS" 2>/dev/null | cut -d' ' -f1 || true)"
     if [ -z "$pinned" ]; then
         echo "$sum  $out" >> "$PINS"
-        echo "PINNED (first fetch — verify out-of-band): $sum  $out"
+        echo "WARNING: no committed pin for $out — TRUST ON FIRST USE." >&2
+        echo "PINNED: $sum  $out  (verify out-of-band before trusting)" >&2
     elif [ "$sum" != "$pinned" ]; then
         rm -f "$out"
         echo "CHECKSUM MISMATCH for $out: got $sum, pinned $pinned" >&2

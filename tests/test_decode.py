@@ -345,12 +345,17 @@ def test_default_chunk_schedule():
     assert bs.default_chunk_schedule(20) == (20,)
     assert bs.default_chunk_schedule(32) == (32,)
     assert bs.default_chunk_schedule(74) == (24, 48, 74)
-    assert bs.default_chunk_schedule(100) == (24, 48, 96, 100)
+    # a doubled chunk within 8 of the budget merges into the final phase
+    # (no near-degenerate 96 -> 100 phase paying a whole compile for 4 steps)
+    assert bs.default_chunk_schedule(100) == (24, 48, 100)
+    assert bs.default_chunk_schedule(128) == (24, 48, 96, 128)
     # non-final chunks always even (double-buffer phase-handoff requirement)
     for L in range(33, 200, 7):
         sched = bs.default_chunk_schedule(L)
         assert sched[-1] == L and all(c % 2 == 0 for c in sched[:-1])
         assert tuple(sorted(set(sched))) == sched
+        # no phase adds fewer than 9 steps over its predecessor
+        assert all(b - a > 8 for a, b in zip(sched, sched[1:]))
 
 
 @pytest.mark.parametrize("chunks", [None, (6, 10, 17)])

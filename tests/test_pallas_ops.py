@@ -505,6 +505,35 @@ def test_topk_pallas_matches_lax():
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+def test_topk_pallas_degenerate_rows():
+    """Rows with fewer than k finite entries must still return DISTINCT
+    ascending indices for the -inf tail (== lax.top_k); a NaN row must
+    return in-range, distinct indices (NaN ordering itself is
+    implementation-defined in XLA top_k, so only index validity is
+    checked there)."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.ops.topk import topk_pallas
+
+    v, k = 2048, 5
+    x = np.full((4, v), -np.inf, dtype=np.float32)
+    x[1, 10] = 3.0  # one finite entry, then -inf tail
+    x[2, 5], x[2, 17] = 1.0, 2.0  # two finite entries
+    # row 3: all -inf (row 0 too)
+    got_v, got_i = topk_pallas(jnp.asarray(x), k)
+    want_v, want_i = jax.lax.top_k(jnp.asarray(x), k)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    xn = np.full((2, v), 1.0, dtype=np.float32)
+    xn[0, 3] = np.nan
+    _, idx = topk_pallas(jnp.asarray(xn), k)
+    idx = np.asarray(idx)
+    assert (idx >= 0).all() and (idx < v).all(), idx
+    for row in idx:
+        assert len(set(row.tolist())) == k, row
+
+
 def test_topk_routing():
     """topk() only routes wide rows to the kernel under the pallas impl."""
     import numpy as np
