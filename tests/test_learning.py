@@ -139,3 +139,60 @@ def test_scst_increases_reward():
     early = np.mean(rewards_log[:5])
     late = np.mean(rewards_log[-5:])
     assert late > early, (early, late)
+
+
+def test_scst_rescore_reproduces_sampling_logprobs():
+    """The SCST default (rng=None re-score) must grade the sampled captions
+    under the SAME policy that produced them: the teacher-forced re-score's
+    per-caption logprob sums equal the sampling decode's, even when the
+    config carries nonzero dropout rates (rng=None keeps dropout off; the
+    --scst_dropout CLI flag is what opts into the noisy draw). This is the
+    estimator-exactness contract documented in train_step.make_scst_step."""
+    from on_device_image_captioning_tpu.config import DropConfig
+    from on_device_image_captioning_tpu.decode import sampling
+
+    vocab = Vocab.build(["a red ball", "a blue cat", "a green dog"], 1)
+    cfg = CaptionerConfig(
+        d_model=48, N_enc=1, N_dec=1, ff=96, num_heads=4, num_exp_enc_list=(4,),
+        num_exp_dec=4, vocab_size=len(vocab), max_seq_len=10, img_feature_dim=8,
+        sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+        drop=DropConfig(enc=0.3, dec=0.3, enc_input=0.2, dec_input=0.2, other=0.1),
+    )
+    rng = np.random.default_rng(5)
+    n, num_samples = 3, 4
+    feats = jnp.asarray(
+        rng.standard_normal((n, 5, cfg.img_feature_dim), dtype=np.float32)
+    )
+    params = cap.captioner_init(jax.random.PRNGKey(2), cfg)
+    enc = cap.forward_enc(params, cfg, feats)
+    sampled = sampling.sample(
+        params, cfg, enc, num_samples, 8, jax.random.PRNGKey(9),
+        vocab.sos_idx, vocab.eos_idx,
+    )
+
+    opt = optax.adam(1e-4)
+    scst = jax.jit(
+        train_step.make_scst_step(cfg, opt, end_to_end_model=False,
+                                  num_samples=num_samples)
+    )
+    state = train_step.init_train_state(params, opt)
+    rewards = jnp.asarray(rng.random((n, num_samples)), jnp.float32)
+    _, metrics = scst(
+        state, {"enc_input": feats},
+        {"tokens": sampled.tokens, "lengths": sampled.lengths},
+        rewards, None,
+    )
+    # sampling zeros logprobs after the first EOS; the re-score keeps
+    # positions < length. Both sums cover exactly the generated tokens.
+    want = float(np.asarray(sampled.logprobs).sum(-1).mean())
+    got = float(metrics["logprob_sum"])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # and with a dropout rng (the --scst_dropout path) the re-score is a
+    # DIFFERENT draw: logprobs must move, proving rng=None was load-bearing
+    _, noisy = scst(
+        state, {"enc_input": feats},
+        {"tokens": sampled.tokens, "lengths": sampled.lengths},
+        rewards, jax.random.PRNGKey(3),
+    )
+    assert abs(float(noisy["logprob_sum"]) - want) > 1e-3
