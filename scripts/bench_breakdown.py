@@ -57,7 +57,9 @@ def main():
         cfg, swin=dataclasses.replace(cfg.swin, attention_impl="fused")
     )
     dcfg = DecodeConfig(beam_size=3, how_many_outputs=1, max_seq_len=20)
-    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    params = end_to_end.prepare_inference_params(
+        end_to_end.init(jax.random.PRNGKey(0), cfg), cfg
+    )
     rng = jax.random.PRNGKey(1)
     images = jnp.asarray(
         np.random.default_rng(0).integers(

@@ -505,6 +505,34 @@ def test_topk_pallas_matches_lax():
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+def test_topk_pallas_tie_fuzz():
+    """Randomized tie-heavy inputs (quantized values force many exact ties,
+    including across 128-lane tile boundaries) in f32 and bf16 must match
+    lax.top_k bit-for-bit, values and indices."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.ops.topk import topk_pallas
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        rows = int(rng.integers(2, 9))
+        v = int(rng.choice([1024, 2048, 4096, 10000]))
+        k = int(rng.integers(1, 9))
+        # few distinct values -> dense ties everywhere
+        levels = rng.standard_normal(4).astype(np.float32)
+        x = levels[rng.integers(0, 4, (rows, v))]
+        for dt in (np.float32, None):
+            xj = jnp.asarray(x) if dt else jnp.asarray(x).astype(jnp.bfloat16)
+            got_v, got_i = topk_pallas(xj, k)
+            want_v, want_i = jax.lax.top_k(xj, k)
+            np.testing.assert_array_equal(
+                np.asarray(got_v), np.asarray(want_v), err_msg=f"t{trial}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_i), np.asarray(want_i), err_msg=f"t{trial}"
+            )
+
+
 def test_topk_pallas_degenerate_rows():
     """Rows with fewer than k finite entries must still return DISTINCT
     ascending indices for the -inf tail (== lax.top_k); a NaN row must
