@@ -348,7 +348,6 @@ def dec_step(
     in_place: donate the cache inputs themselves (valid only without
     reorder — sampling-style loops; ignored by the XLA path).
     """
-    b = tokens.shape[0]
     if reorder is not None and _DYN_STEP_IMPL != "pallas":
         take = lambda a: jnp.take(a, reorder, axis=0)
         state = DecState(

@@ -71,6 +71,12 @@ class DeviceCiderCorpus:
         max_refs: Optional[int] = None,
         table_load: float = 0.5,
     ):
+        # token ids must fit the 15-bit packing, and PAD_TOKEN_ID must stay
+        # impossible — a bigger vocab would silently alias distinct tokens
+        assert len(vocab) < PAD_TOKEN_ID, (
+            f"vocab size {len(vocab)} >= {PAD_TOKEN_ID} overflows the "
+            f"{TOKEN_BITS}-bit n-gram packing"
+        )
         self.vocab = vocab
         ext: Dict[str, int] = {}
         next_ext = [len(vocab)]
@@ -140,7 +146,6 @@ class DeviceCiderCorpus:
         self.ref_lo = np.zeros(shape, np.int32)
         self.ref_hi = np.zeros(shape, np.int32)
         self.ref_tf = np.zeros(shape, np.float32)
-        self.ref_idf = np.zeros(shape, np.float32)
         self.ref_norm = np.zeros((n_images, R, N), np.float32)
         self.ref_blen = np.zeros((n_images, R), np.float32)  # bigram length
         self.ref_valid = np.zeros((n_images, R), np.float32)
@@ -154,8 +159,10 @@ class DeviceCiderCorpus:
                     self.ref_lo[i, r, k, s] = lo
                     self.ref_hi[i, r, k, s] = hi
                     self.ref_tf[i, r, k, s] = tf
+                    # no per-entry idf table is kept: a MATCHING candidate
+                    # gram has the same idf, which the device scorer looks up
+                    # once from the df hash table (cider_reward line ~338)
                     w = idf_of((lo, hi, n))
-                    self.ref_idf[i, r, k, s] = w
                     self.ref_norm[i, r, k] += (tf * w) ** 2
                     if n == 2:
                         self.ref_blen[i, r] += tf
@@ -202,6 +209,17 @@ class DeviceCiderCorpus:
                 }
             )
 
+        if self._oov_overflow:
+            import warnings
+
+            warnings.warn(
+                f"DeviceCiderCorpus: {self._oov_overflow} out-of-vocabulary "
+                f"reference words exceeded the {TOKEN_BITS}-bit id space and "
+                "share one bucket — their df/tf (and rewards touching them) "
+                "are slightly off; shrink the corpus or grow TOKEN_BITS",
+                stacklevel=2,
+            )
+
     def batch(self, image_indices) -> Dict[str, np.ndarray]:
         """Gather the per-image reference tables for a batch (host, cheap)."""
         idx = np.asarray(image_indices)
@@ -209,7 +227,6 @@ class DeviceCiderCorpus:
             "ref_lo": self.ref_lo[idx],
             "ref_hi": self.ref_hi[idx],
             "ref_tf": self.ref_tf[idx],
-            "ref_idf": self.ref_idf[idx],
             "ref_norm": self.ref_norm[idx],
             "ref_blen": self.ref_blen[idx],
             "ref_valid": self.ref_valid[idx],
@@ -233,9 +250,10 @@ def _df_lookup(lo, hi, t_lo, t_hi, t_idf, probes: int, log_ref_len: float):
     """idf of each packed gram via fixed-depth linear probing; miss -> log N
     (the df=0 branch of the host scorer)."""
     size = t_lo.shape[0]
+    # same constants as the host-side insert (_H1/_H2) — they must bit-agree
     h = (
-        (lo.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
-        ^ (hi.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        (lo.astype(jnp.uint32) * jnp.uint32(_H1))
+        ^ (hi.astype(jnp.uint32) * jnp.uint32(_H2))
     ) & jnp.uint32(size - 1)
     h = h.astype(jnp.int32)
     idf = jnp.full(lo.shape, log_ref_len, jnp.float32)
@@ -278,7 +296,6 @@ def cider_reward(
     ref_lo = rep(batch_tables["ref_lo"])  # (rows, R, N, M)
     ref_hi = rep(batch_tables["ref_hi"])
     ref_tf = rep(batch_tables["ref_tf"])
-    ref_idf = rep(batch_tables["ref_idf"])
     ref_norm = rep(batch_tables["ref_norm"])  # (rows, R, N)
     ref_blen = rep(batch_tables["ref_blen"])  # (rows, R)
     ref_valid = rep(batch_tables["ref_valid"])  # (rows, R)
