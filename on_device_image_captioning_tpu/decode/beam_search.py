@@ -37,16 +37,22 @@ class BeamResult(NamedTuple):
 
 
 def default_chunk_schedule(max_seq_len: int, first: int = 24):
-    """Cache-length schedule for chunked decode: single phase for short
-    budgets (the TRT-style 20-step decode, short tests), else `first` doubled
-    until it reaches max_seq_len. All non-final chunks are even — required
-    for the double-buffered loop body's phase handoff (see beam_loop). A
-    doubled chunk within 8 steps of max_seq_len merges into the final phase
-    (each phase compiles its own decoder-step kernels; a near-degenerate
-    final phase like 96 -> 100 would pay a whole compile for a few steps
-    that position-masking makes free to fold into the previous one)."""
-    if max_seq_len <= first + 8:
+    """Cache-length schedule for chunked decode: single phase for very short
+    budgets, a (12, L) two-phase for short ones (the TRT-style 20-step decode
+    measures 15.5 -> 13.5 ms at b32/beam3 from running steps 2..12 on 12-slot
+    caches — the per-step Pallas dyn-step kernels are bandwidth-bound on the
+    vals caches, so traffic scales with CURRENT cache length), else `first`
+    doubled until it reaches max_seq_len. All non-final chunks are even —
+    required for the double-buffered loop body's phase handoff (see
+    beam_loop). A doubled chunk within 8 steps of max_seq_len merges into the
+    final phase (each phase compiles its own decoder-step kernels; a
+    near-degenerate final phase like 96 -> 100 would pay a whole compile for
+    a few steps that position-masking makes free to fold into the previous
+    one)."""
+    if max_seq_len <= 16:
         return (max_seq_len,)
+    if max_seq_len <= first + 8:
+        return (12, max_seq_len)
     chunks = []
     c = first
     while c < max_seq_len and c + 8 < max_seq_len:

@@ -342,8 +342,11 @@ def test_chunked_beam_parity(tiny_params, dyn_impl):
 
 
 def test_default_chunk_schedule():
-    assert bs.default_chunk_schedule(20) == (20,)
-    assert bs.default_chunk_schedule(32) == (32,)
+    # short budgets get a (12, L) two-phase (measured 15.5 -> 13.5 ms at
+    # b32/beam3/L20: dyn-step cache traffic scales with current cache length)
+    assert bs.default_chunk_schedule(16) == (16,)
+    assert bs.default_chunk_schedule(20) == (12, 20)
+    assert bs.default_chunk_schedule(32) == (12, 32)
     assert bs.default_chunk_schedule(74) == (24, 48, 74)
     # a doubled chunk within 8 of the budget merges into the final phase
     # (no near-degenerate 96 -> 100 phase paying a whole compile for 4 steps)
