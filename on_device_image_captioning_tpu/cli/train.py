@@ -405,22 +405,23 @@ def main(argv=None):
             df_tables = jax.device_put(dcorpus.device_tables())
             probes, logn = dcorpus.probe_depths, dcorpus.log_ref_len
 
-            @jax.jit
-            def scst_fused(state, arrays, ref_tables, rng):
-                rng_s, rng_g = jax.random.split(rng)
-                sampled = _sample(
-                    state.params, arrays["enc_input"], rng_s,
-                    enc_num_pads=arrays.get("enc_num_pads"),
+            def _device_reward(tokens, lengths, ref_tables):
+                return cider_reward(
+                    tokens, lengths, ref_tables, df_tables, probes, logn
                 )
-                rewards = cider_reward(
-                    sampled.tokens, sampled.lengths, ref_tables, df_tables,
-                    probes, logn,
+
+            # shared-forward fused step: encoder runs ONCE (vjp), sampling +
+            # device CIDEr + REINFORCE grad all in one jit
+            scst_fused = jax.jit(
+                train_step.make_scst_fused_step(
+                    cfg, opt, end_to_end_model=end2end,
+                    num_samples=args.num_samples,
+                    scst_max_len=args.scst_max_len,
+                    sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx,
+                    reward_fn=_device_reward, remat=args.remat,
+                    dropout=args.scst_dropout,
                 )
-                return scst_inner(
-                    state, arrays,
-                    {"tokens": sampled.tokens, "lengths": sampled.lengths},
-                    rewards, rng_g if args.scst_dropout else None,
-                )
+            )
 
     def materialize_enc_input(batch):
         """-> (enc_input, enc_num_pads or None)."""

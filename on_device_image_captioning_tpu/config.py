@@ -97,6 +97,22 @@ class CaptionerConfig:
     ln_eps: float = 1e-5  # torch nn.LayerNorm default
     attn_fill: float = -1e4  # attention mask fill (reference models/layers.py:284)
 
+    def __post_init__(self):
+        # OOB special tokens would NaN-fill the token-embedding jnp.take in
+        # the full-prefix decoder while the incremental decode clamps —
+        # silently degenerate captions/losses (caught by a tiny-config audit:
+        # vocab_size=50 with the COCO defaults 77-80 produced NaN logprobs).
+        # Fail loudly at construction instead.
+        for name in ("sos_idx", "eos_idx", "pad_idx", "unk_idx"):
+            idx = getattr(self, name)
+            if not 0 <= idx < self.vocab_size:
+                raise ValueError(
+                    f"CaptionerConfig.{name}={idx} is outside the vocab "
+                    f"(vocab_size={self.vocab_size}); pass in-range special "
+                    f"token indices (the 77-80 defaults fit COCO's 10k vocab "
+                    f"only)"
+                )
+
     @property
     def sum_exp_enc(self) -> int:
         return int(sum(self.num_exp_enc_list))

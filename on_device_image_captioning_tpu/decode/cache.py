@@ -362,9 +362,11 @@ def dec_step(
             enc_mask=state.enc_mask,
         )
         reorder = None
-    y = jnp.take(params["out_embedder"]["embed"], tokens, axis=0) * math.sqrt(
-        float(cfg.d_model)
-    )
+    # mode="clip" matches models/captioner.py forward_dec: stray OOB token
+    # ids clamp instead of NaN-filling, so both scoring paths agree
+    y = jnp.take(
+        params["out_embedder"]["embed"], tokens, axis=0, mode="clip"
+    ) * math.sqrt(float(cfg.d_model))
     y = y + jnp.take(params["pos_encoder"]["embed"], pos, axis=0)[None]
 
     new_layers = []

@@ -125,7 +125,10 @@ def forward_dec(
         )
 
     # token embedding: dropout(embed(x)) * sqrt(d) (reference models/layers.py:16-17)
-    y = jnp.take(params["out_embedder"]["embed"], dec_input, axis=0)
+    # mode="clip": stray out-of-range token ids clamp (matching the
+    # incremental decoder's lookup, decode/cache.py) instead of jnp.take's
+    # default NaN fill — keeps full-prefix re-score and decode consistent
+    y = jnp.take(params["out_embedder"]["embed"], dec_input, axis=0, mode="clip")
     y = dropout(rngs.next(), cfg.drop.dec_input, y, train) * math.sqrt(float(cfg.d_model))
     y = y + params["pos_encoder"]["embed"][:t][None, :, :]
 

@@ -185,6 +185,146 @@ def make_scst_step(
     return step
 
 
+def make_scst_fused_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    end_to_end_model: bool,
+    num_samples: int,
+    scst_max_len: int,
+    sos_idx: int,
+    eos_idx: int,
+    reward_fn: Callable,
+    remat: bool = False,
+    dropout: bool = False,
+) -> Callable:
+    """ONE-jit SCST step with a SHARED encoder forward: sample + reward +
+    REINFORCE grad + optimizer, where the encoder (Swin backbone + expansion
+    encoder) runs its train-mode forward exactly ONCE per iteration.
+
+    make_scst_step re-runs the full encoder inside the grad pass after the
+    sampling call already ran it in inference mode — at Swin-L/384 b16 that
+    second backbone forward is ~40 ms of the 256 ms step (measured,
+    scripts/bench_scst.py). Here the encoder runs once under jax.vjp; the
+    sampler consumes its (stop-gradient) output, the decoder-only re-score
+    is differentiated wrt (captioner params, enc), and the encoder cotangent
+    is pulled back through the saved vjp. This is also the *more* consistent
+    estimator: sampling and re-score see the SAME encoder activations
+    (make_scst_step's two passes differ by train-vs-inference kernel
+    rounding at bf16).
+
+    reward_fn(tokens, lengths, ref_tables) -> (B, N) rewards must be
+    traceable (e.g. train.device_cider.cider_reward closed over the corpus
+    DF tables); ref_tables is passed through from the step call.
+
+    dropout=False (default) keeps dropout off: sampling and re-score share
+    one deterministic policy — the textbook unbiased REINFORCE gradient.
+    With dropout=True (cli --scst_dropout), the ENCODER dropout draw is
+    shared between sampling and gradient (the sampled-from policy IS the
+    differentiated one — closer to the reference, whose noisy sampling
+    forward is backpropped directly, train.py:124-172); only the decoder
+    re-score takes an independent draw, as the incremental sampler's
+    kernels cannot replay the decoder's dropout masks.
+
+    Returns step(state, batch, ref_tables, rng) -> (state, metrics); rng
+    always seeds the multinomial sampler (and the dropout draws when
+    dropout=True). batch: {'enc_input': images NHWC or features,
+    'enc_num_pads'?: (B,)}.
+    """
+    if end_to_end_model:
+        model_cfg: ModelConfig = cfg
+        cap_cfg = model_cfg.captioner
+    else:
+        cap_cfg: CaptionerConfig = cfg
+
+    from ..decode import sampling
+
+    def step(state: TrainState, batch, ref_tables, rng):
+        if dropout:
+            rng_enc, rng_dec, rng_s = jax.random.split(rng, 3)
+        else:
+            rng_enc, rng_dec, rng_s = None, None, rng
+        enc_pads = batch.get("enc_num_pads")
+
+        def enc_fn(params):
+            if end_to_end_model:
+                return end_to_end.forward_enc(
+                    params, model_cfg, batch["enc_input"], rng=rng_enc,
+                    train=True, remat=remat,
+                )
+            return cap.forward_enc(
+                params, cap_cfg, batch["enc_input"], enc_num_pads=enc_pads,
+                rng=rng_enc, train=True,
+            )
+
+        enc, enc_vjp = jax.vjp(enc_fn, state.params)
+        sampled = sampling.sample(
+            state.params["captioner"] if end_to_end_model else state.params,
+            cap_cfg, jax.lax.stop_gradient(enc), num_samples, scst_max_len,
+            rng_s, sos_idx, eos_idx, enc_num_pads=enc_pads,
+        )
+        rewards = reward_fn(sampled.tokens, sampled.lengths, ref_tables)
+
+        tokens = sampled.tokens  # (B, N, L+1)
+        lengths = sampled.lengths  # (B, N)
+        b, n, lp1 = tokens.shape
+        flat = tokens.reshape(b * n, lp1)
+
+        def dec_loss(dec_params, enc_in):
+            enc_rep = jnp.repeat(enc_in, n, axis=0)
+            logits = cap.forward_dec(
+                dec_params, cap_cfg, enc_rep, flat[:, :-1],
+                apply_log_softmax=True,
+                enc_num_pads=None if enc_pads is None
+                else jnp.repeat(enc_pads, n, axis=0),
+                rng=rng_dec, train=True,
+                dtype=(model_cfg.compute_dtype if end_to_end_model else None),
+            )  # (B*N, L, V)
+            step_lp = jnp.take_along_axis(
+                logits, flat[:, 1:, None], axis=-1
+            )[..., 0]
+            pos = jax.lax.broadcasted_iota(jnp.int32, step_lp.shape, 1)
+            keep = pos < lengths.reshape(b * n, 1)
+            step_lp = jnp.where(keep, step_lp, 0.0).reshape(b, n, -1)
+            baselines = mean_baseline(rewards)
+            loss = scst_loss(step_lp, rewards, baselines)
+            return loss, (rewards.mean(), baselines.mean(),
+                          step_lp.sum(-1).mean())
+
+        dec_params = (
+            state.params["captioner"] if end_to_end_model else state.params
+        )
+        (loss, aux), (g_dec, g_enc) = jax.value_and_grad(
+            dec_loss, argnums=(0, 1), has_aux=True
+        )(dec_params, enc)
+        (grads,) = enc_vjp(g_enc)
+        # decoder grads live in the captioner subtree; encoder-path grads
+        # (swin + expansion encoder) came through the vjp — sum leaf-wise
+        if end_to_end_model:
+            grads = {
+                **grads,
+                "captioner": jax.tree.map(
+                    jnp.add, grads["captioner"], g_dec
+                ),
+            }
+        else:
+            grads = jax.tree.map(jnp.add, grads, g_dec)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        reward_mean, base_mean, logp_mean = aux
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {
+                "loss": loss,
+                "reward": reward_mean,
+                "baseline": base_mean,
+                "logprob_sum": logp_mean,
+            },
+        )
+
+    return step
+
+
 def with_grad_accum(
     optimizer: optax.GradientTransformation, num_accum: int
 ) -> optax.GradientTransformation:

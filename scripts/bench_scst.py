@@ -216,6 +216,37 @@ def main():
     jax.device_get(metrics["loss"])
     t_fused = (time.perf_counter() - t0) / iters
 
+    # shared-forward fused: the encoder (Swin + expansion enc) runs ONCE per
+    # iteration under jax.vjp — sampling consumes its output and the
+    # REINFORCE backward pulls the encoder cotangent through the saved vjp
+    # instead of re-running the train-mode forward (train_step.
+    # make_scst_fused_step)
+    from on_device_image_captioning_tpu.train.train_step import (
+        make_scst_fused_step,
+    )
+
+    def _device_reward(tokens, lengths, ref_tables):
+        return cider_reward(tokens, lengths, ref_tables, df_tables,
+                            probes, logn)
+
+    shared = jax.jit(
+        make_scst_fused_step(
+            cfg, opt, end_to_end_model=True, num_samples=num_samples,
+            scst_max_len=scst_max_len, sos_idx=vocab.sos_idx,
+            eos_idx=vocab.eos_idx, reward_fn=_device_reward,
+        )
+    )
+    bt = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idxs).items()}
+    state, metrics = shared(state, {"enc_input": images}, bt, key)
+    jax.device_get(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        bt = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idxs).items()}
+        state, metrics = shared(state, {"enc_input": images}, bt, sub)
+    jax.device_get(metrics["loss"])
+    t_shared = (time.perf_counter() - t0) / iters
+
     print(f"SCST b{batch} x{num_samples} samples, L{scst_max_len}, Swin-L/384 "
           f"bf16 fused+pallas:")
     print(f"  sample (device)      {t_sample * 1000:8.1f} ms")
@@ -227,6 +258,8 @@ def main():
           f"{batch / t_pipe:6.2f} img/s   (stale-by-one sampling)")
     print(f"  fused device-reward  {t_fused * 1000:8.1f} ms -> "
           f"{batch / t_fused:6.2f} img/s   (one jit, device CIDEr)")
+    print(f"  fused shared-fwd     {t_shared * 1000:8.1f} ms -> "
+          f"{batch / t_shared:6.2f} img/s   (one jit, one encoder fwd via vjp)")
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ assert len(jax.devices()) == 4, len(jax.devices())
 cfg = CaptionerConfig(
     d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4, num_exp_enc_list=(4,),
     num_exp_dec=4, vocab_size=32, max_seq_len=12, img_feature_dim=8,
+    sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
 )
 params = cap.captioner_init(jax.random.PRNGKey(0), cfg)  # same seed every host
 opt = optax.adam(1e-3)

@@ -23,6 +23,10 @@ TINY = CaptionerConfig(
     vocab_size=50,
     max_seq_len=20,
     img_feature_dim=24,
+    sos_idx=2,
+    eos_idx=3,
+    pad_idx=0,
+    unk_idx=1,
     drop=DropConfig(),
 )
 

@@ -13,6 +13,7 @@ from on_device_image_captioning_tpu.utils import checkpointing as ckpt
 TINY = CaptionerConfig(
     d_model=16, N_enc=3, N_dec=3, ff=32, num_heads=2, num_exp_enc_list=(2, 4),
     num_exp_dec=2, vocab_size=20, max_seq_len=10, img_feature_dim=8,
+    sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
 )
 
 

@@ -196,7 +196,11 @@ def test_evaluate_ensemble_and_quantized(corpus, tmp_path):
     ds = load_coco_karpathy(corpus["ann"], dict_min_occurrences=1)
     import dataclasses
 
-    cfg2 = dataclasses.replace(cfg, vocab_size=len(ds.vocab))
+    cfg2 = dataclasses.replace(
+        cfg, vocab_size=len(ds.vocab), sos_idx=ds.vocab.sos_idx,
+        eos_idx=ds.vocab.eos_idx, pad_idx=ds.vocab.pad_idx,
+        unk_idx=ds.vocab.unk_idx,
+    )
     params = cap_mod.captioner_init(jax.random.PRNGKey(3), cfg2)
     d = tmp_path / "mq"
     save_checkpoint(str(d), params, additional_info="xe")
@@ -269,6 +273,7 @@ def test_generate_features_and_end_to_end_evaluate(tmp_path):
             d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4,
             num_exp_enc_list=(4, 8), num_exp_dec=4, vocab_size=12,
             max_seq_len=12, img_feature_dim=32,
+            sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
         ),
     )
     # dataset vocab is tiny; rebuild with the right size
@@ -363,6 +368,8 @@ def test_evaluate_pruned_checkpoint(corpus, tmp_path):
         d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=len(ds.vocab), max_seq_len=12,
         img_feature_dim=FEAT_DIM,
+        sos_idx=ds.vocab.sos_idx, eos_idx=ds.vocab.eos_idx,
+        pad_idx=ds.vocab.pad_idx, unk_idx=ds.vocab.unk_idx,
     )
     params = cap_mod.captioner_init(jax.random.PRNGKey(0), cfg)
     pruned = global_l1_prune(params, 0.5)

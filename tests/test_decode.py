@@ -22,6 +22,10 @@ TINY = CaptionerConfig(
     vocab_size=50,
     max_seq_len=20,
     img_feature_dim=24,
+    sos_idx=2,
+    eos_idx=3,
+    pad_idx=0,
+    unk_idx=1,
 )
 
 
@@ -262,6 +266,7 @@ def test_beam_search_parity_fuzz(reference_path, seed, dyn_impl):
         num_exp_dec=int(rng.integers(2, 6)),
         vocab_size=int(rng.integers(20, 60)),
         max_seq_len=24, img_feature_dim=int(rng.integers(8, 25)),
+        sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
     )
     drop = Namespace(enc=0.0, dec=0.0, enc_input=0.0, dec_input=0.0, other=0.0)
     ref = ExpansionNet_v2(

@@ -26,7 +26,7 @@ from on_device_image_captioning_tpu.models import end_to_end
 TINY_CAP = CaptionerConfig(
     d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
     num_exp_dec=4, vocab_size=50, max_seq_len=20, img_feature_dim=24,
-    sos_idx=2, eos_idx=3,
+    sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
 )
 TINY_E2E = ModelConfig(
     swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
@@ -34,7 +34,7 @@ TINY_E2E = ModelConfig(
     captioner=CaptionerConfig(
         d_model=32, N_enc=2, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
         num_exp_dec=4, vocab_size=50, max_seq_len=20, img_feature_dim=32,
-        sos_idx=2, eos_idx=3,
+        sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
     ),
 )
 

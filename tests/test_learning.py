@@ -25,6 +25,7 @@ def test_overfit_tiny_corpus_and_reproduce_captions():
         d_model=48, N_enc=1, N_dec=1, ff=96, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=len(vocab), max_seq_len=12, img_feature_dim=8,
         sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+        unk_idx=vocab.unk_idx,
     )
     rng = np.random.default_rng(0)
     n = 4
@@ -85,6 +86,7 @@ def test_scst_increases_reward():
         d_model=48, N_enc=1, N_dec=1, ff=96, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=len(vocab), max_seq_len=10, img_feature_dim=8,
         sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+        unk_idx=vocab.unk_idx,
     )
     rng = np.random.default_rng(1)
     n = 3
@@ -156,6 +158,7 @@ def test_scst_rescore_reproduces_sampling_logprobs():
         d_model=48, N_enc=1, N_dec=1, ff=96, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=len(vocab), max_seq_len=10, img_feature_dim=8,
         sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+        unk_idx=vocab.unk_idx,
         drop=DropConfig(enc=0.3, dec=0.3, enc_input=0.2, dec_input=0.2, other=0.1),
     )
     rng = np.random.default_rng(5)
@@ -196,3 +199,118 @@ def test_scst_rescore_reproduces_sampling_logprobs():
         rewards, jax.random.PRNGKey(3),
     )
     assert abs(float(noisy["logprob_sum"]) - want) > 1e-3
+
+
+def test_scst_fused_step_matches_two_phase():
+    """make_scst_fused_step (shared encoder forward, in-jit reward) must be
+    the SAME estimator as the two-phase flow (sample, then make_scst_step):
+    with dropout off, one encoder forward under jax.vjp replaces the two
+    forwards, so sampled tokens, rewards, metrics, and the updated params
+    all match the two-phase step that re-scores the same captions."""
+    from on_device_image_captioning_tpu.decode import sampling
+
+    vocab = Vocab.build(["a red ball", "a blue cat", "a green dog"], 1)
+    cfg = CaptionerConfig(
+        d_model=48, N_enc=1, N_dec=1, ff=96, num_heads=4, num_exp_enc_list=(4,),
+        num_exp_dec=4, vocab_size=len(vocab), max_seq_len=10, img_feature_dim=8,
+        sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+        unk_idx=vocab.unk_idx,
+    )
+    rng = np.random.default_rng(3)
+    n, num_samples, L = 3, 4, 8
+    feats = jnp.asarray(
+        rng.standard_normal((n, 5, cfg.img_feature_dim), dtype=np.float32)
+    )
+    params = cap.captioner_init(jax.random.PRNGKey(4), cfg)
+    opt = optax.adam(5e-4)
+    state = train_step.init_train_state(params, opt)
+
+    # deterministic tokens-only reward so both flows score identically
+    def reward_fn(tokens, lengths, ref_tables):
+        return (tokens[:, :, 1:].sum(-1) % 5).astype(jnp.float32) - 2.0
+
+    fused = jax.jit(
+        train_step.make_scst_fused_step(
+            cfg, opt, end_to_end_model=False, num_samples=num_samples,
+            scst_max_len=L, sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx,
+            reward_fn=reward_fn,
+        )
+    )
+    key = jax.random.PRNGKey(11)
+    state_f, metrics_f = fused(state, {"enc_input": feats}, None, key)
+
+    # two-phase reference: sample from the SAME train-mode encoder forward
+    # (fused runs the encoder with train=True; rng=None keeps dropout off)
+    enc = cap.forward_enc(params, cfg, feats, train=True)
+    sampled = sampling.sample(
+        params, cfg, enc, num_samples, L, key, vocab.sos_idx, vocab.eos_idx
+    )
+    rewards = reward_fn(sampled.tokens, sampled.lengths, None)
+    scst = jax.jit(
+        train_step.make_scst_step(cfg, opt, end_to_end_model=False,
+                                  num_samples=num_samples)
+    )
+    state_t, metrics_t = scst(
+        state, {"enc_input": feats},
+        {"tokens": sampled.tokens, "lengths": sampled.lengths}, rewards, None,
+    )
+
+    for k in ("loss", "reward", "baseline", "logprob_sum"):
+        np.testing.assert_allclose(
+            float(metrics_f[k]), float(metrics_t[k]), rtol=1e-5, atol=1e-5,
+            err_msg=k,
+        )
+    flat_f = jax.tree.leaves(state_f.params)
+    flat_t = jax.tree.leaves(state_t.params)
+    for a, b in zip(flat_f, flat_t):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_scst_fused_step_end_to_end_smoke():
+    """Fused SCST over the full image model: one step runs, params move, and
+    the swin backbone receives nonzero gradient through the shared-forward
+    vjp (the encoder path the decoder-only grad cannot reach)."""
+    from on_device_image_captioning_tpu.config import ModelConfig, SwinConfig
+    from on_device_image_captioning_tpu.models import end_to_end
+
+    vocab = Vocab.build(["a red ball", "a blue cat"], 1)
+    cfg = ModelConfig(
+        swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2,),
+                        num_heads=(2,), window_size=4),
+        captioner=CaptionerConfig(
+            d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4,
+            num_exp_enc_list=(4,), num_exp_dec=4, vocab_size=len(vocab),
+            max_seq_len=10, img_feature_dim=16,
+            sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx,
+            pad_idx=vocab.pad_idx, unk_idx=vocab.unk_idx,
+        ),
+    )
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-4)
+    state = train_step.init_train_state(params, opt)
+
+    def reward_fn(tokens, lengths, ref_tables):
+        return (tokens[:, :, 1:].sum(-1) % 3).astype(jnp.float32) - 1.0
+
+    fused = jax.jit(
+        train_step.make_scst_fused_step(
+            cfg, opt, end_to_end_model=True, num_samples=3, scst_max_len=8,
+            sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, reward_fn=reward_fn,
+        )
+    )
+    imgs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)), jnp.float32
+    )
+    state2, metrics = fused(state, {"enc_input": imgs}, None,
+                            jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(state.params["swin"]),
+            jax.tree.leaves(state2.params["swin"]),
+        )
+    ]
+    assert max(moved) > 0.0, "swin params did not move: encoder vjp broken"

@@ -76,6 +76,7 @@ def test_two_process_distributed_xe_step(tmp_path):
     cfg = CaptionerConfig(
         d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=32, max_seq_len=12, img_feature_dim=8,
+        sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
     )
     params = cap.captioner_init(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(1e-3)

@@ -398,6 +398,7 @@ def test_dyn_exp_step_kernel_matches_xla():
     cfg = CaptionerConfig(
         d_model=32, N_enc=1, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=40, max_seq_len=12, img_feature_dim=16,
+        sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
     )
     params = cap.captioner_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -441,6 +442,7 @@ def test_dyn_exp_pallas_matches_xla_under_reorders():
     cfg = CaptionerConfig(
         d_model=32, N_enc=1, N_dec=2, ff=64, num_heads=4, num_exp_enc_list=(4,),
         num_exp_dec=4, vocab_size=40, max_seq_len=12, img_feature_dim=16,
+        sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
     )
     params = cap.captioner_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(7)

@@ -11,6 +11,7 @@ from on_device_image_captioning_tpu.params import torch_convert as tc
 TINY3 = CaptionerConfig(
     d_model=32, N_enc=3, N_dec=3, ff=64, num_heads=4, num_exp_enc_list=(4, 8),
     num_exp_dec=4, vocab_size=50, max_seq_len=20, img_feature_dim=24,
+    sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
 )
 
 
