@@ -39,6 +39,12 @@ def main(argv=None):
                         default=[6, 12, 24, 48])
     parser.add_argument("--swin_window_size", type=int, default=12)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--feature_dtype", choices=["float32", "float16"],
+                        default="float32",
+                        help="on-disk feature dtype; float16 halves the store "
+                             "(the reference's features.hdf5 is 102 GB f32, "
+                             "README.md:166-168) and the device->host transfer. "
+                             "Readers (data/features_io.py) cast to f32.")
     args = parser.parse_args(argv)
 
     from ..data.datasets import load_coco_karpathy, load_vizwiz
@@ -68,15 +74,27 @@ def main(argv=None):
         params = swin_mod.swin_init(jax.random.PRNGKey(0), swin_cfg)
     params = swin_mod.prepare_inference_params(params, swin_cfg)
 
+    store_dtype = np.dtype(args.feature_dtype)
+    transfer_dtype = jnp.float16 if store_dtype == np.float16 else jnp.float32
+
     @jax.jit
     def extract(params, images_u8):
         x = normalize_on_device(images_u8)
-        return swin_mod.swin_apply(params, swin_cfg, x, dtype=compute_dtype)
+        y = swin_mod.swin_apply(params, swin_cfg, x, dtype=compute_dtype)
+        # cast ON DEVICE so the device->host transfer carries store_dtype bytes
+        return y.astype(transfer_dtype)
 
     records = [r for s in args.splits for r in dataset.records(s)]
     print(f"extracting features for {len(records)} images", flush=True)
     t0 = time.time()
-    with FeatureStore(args.output, "w") as store:
+
+    # three-stage software pipeline: a worker thread decodes + resizes the
+    # NEXT batch (GIL-releasing PIL C code) while the device computes the
+    # CURRENT one and the host drains the PREVIOUS result — jax dispatch is
+    # async, so enqueueing batch k+1 before device_get(k) overlaps JPEG
+    # decode, H2D, compute, and D2H (the reference extracts one image at a
+    # time fully synchronously, data_generator.py:98-160)
+    def batches():
         for start in range(0, len(records), args.batch_size):
             chunk = records[start : start + args.batch_size]
             imgs = preprocess_batch(
@@ -85,14 +103,44 @@ def main(argv=None):
             pad = args.batch_size - len(chunk)
             if pad:
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
-            feats = np.asarray(extract(params, jnp.asarray(imgs)), np.float32)
-            for r, f in zip(chunk, feats):
-                store.write(r["img_id"], f)
-            done = min(start + args.batch_size, len(records))
-            if done % (args.batch_size * 20) == 0 or done == len(records):
-                rate = done / max(time.time() - t0, 1e-9)
-                print(f"{done}/{len(records)} ({rate:.1f} img/s)", flush=True)
+            yield chunk, imgs
+
+    from ..data.prefetch import PrefetchIterator
+
+    it = iter(batches())
+    prefetch = PrefetchIterator(
+        next_batch=lambda: next(it), materialize=lambda b: b, depth=2
+    )
+    done = 0
+    with FeatureStore(args.output, "w") as store:
+        pending = None  # (chunk, device features) still on device
+        while True:
+            try:
+                (chunk, imgs), _ = prefetch.get()
+            except StopIteration:
+                break
+            feats_dev = extract(params, jnp.asarray(imgs))
+            if pending is not None:
+                _drain(store, pending, store_dtype)
+                done += len(pending[0])
+                if done % (args.batch_size * 20) == 0:
+                    rate = done / max(time.time() - t0, 1e-9)
+                    print(f"{done}/{len(records)} ({rate:.1f} img/s)", flush=True)
+            pending = (chunk, feats_dev)
+        if pending is not None:
+            _drain(store, pending, store_dtype)
+            done += len(pending[0])
+        rate = done / max(time.time() - t0, 1e-9)
+        print(f"{done}/{len(records)} ({rate:.1f} img/s)", flush=True)
+    prefetch.close()
     return 0
+
+
+def _drain(store, pending, store_dtype):
+    chunk, feats_dev = pending
+    feats = np.asarray(feats_dev).astype(store_dtype, copy=False)
+    for r, f in zip(chunk, feats):
+        store.write(r["img_id"], f)
 
 
 def _load_backbone(path: str, swin_cfg):

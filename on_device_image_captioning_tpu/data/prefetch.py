@@ -55,8 +55,17 @@ class PrefetchIterator:
 
     def get(self, timeout: float = 300.0):
         """Next (raw_batch, materialized) pair; raises the worker's error if it
-        died."""
+        died. Batches already queued before the worker died (e.g. the producer
+        raising StopIteration at end of a finite stream) are drained FIRST, so
+        no produced batch is ever dropped."""
         while True:
+            try:
+                batch, arrays, state = self._q.get_nowait()
+                if state is not None:
+                    self.consumed_state = state
+                return batch, arrays
+            except queue.Empty:
+                pass
             if self._error is not None:
                 raise self._error
             try:

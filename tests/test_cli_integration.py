@@ -264,6 +264,25 @@ def test_generate_features_and_end_to_end_evaluate(tmp_path):
     assert rc == 0
     with FeatureStore(feat) as store:
         assert store.read(0).shape == (16, 32)  # 4x4 tokens, 16*2 dims
+        assert all(i in store for i in range(5))  # pipelined loop drops nothing
+
+    # float16 store: half the bytes on disk, same features to ~1e-2, readers
+    # still produce f32
+    feat16 = str(tmp_path / "f16.hdf5")
+    rc = gen_cli.main(
+        ["--annotations", str(ann), "--images_path", str(tmp_path),
+         "--output", feat16, "--batch_size", "2", "--feature_dtype", "float16",
+         *swin_flags]
+    )
+    assert rc == 0
+    import h5py
+
+    with h5py.File(feat16, "r") as f:
+        assert f["0_features"].dtype == np.float16
+    with FeatureStore(feat) as s32, FeatureStore(feat16) as s16:
+        a, b = s32.read(3), s16.read(3)
+        assert b.dtype == np.float32
+        np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)
 
     # native end-to-end checkpoint for the tiny geometry
     cfg = ModelConfig(

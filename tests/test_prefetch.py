@@ -56,6 +56,24 @@ def test_prefetch_propagates_errors():
     pf.close()
 
 
+def test_prefetch_drains_queue_before_raising():
+    """A finite producer (raises StopIteration when exhausted) must not lose
+    batches it already queued: the worker runs ahead and dies on the sentinel
+    while earlier batches still sit in the queue — get() must return ALL of
+    them first, then raise."""
+    it = iter(range(5))
+
+    pf = PrefetchIterator(lambda: next(it), lambda b: b, depth=4)
+    time.sleep(0.3)  # let the worker run to exhaustion with queued batches
+    got = []
+    with pytest.raises(StopIteration):
+        while True:
+            b, _ = pf.get()
+            got.append(b)
+    pf.close()
+    assert got == [0, 1, 2, 3, 4]
+
+
 def test_prefetch_consumed_state_tracks_consumption():
     """consumed_state must always reflect the last CONSUMED batch, not the
     worker's run-ahead cursor, so checkpoints resume at the exact next batch
