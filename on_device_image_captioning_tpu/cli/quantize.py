@@ -49,6 +49,7 @@ def main(argv=None):
         captioner=dataclasses.replace(
             cfg.captioner, vocab_size=len(vocab), max_seq_len=args.max_seq_len,
             sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx, pad_idx=vocab.pad_idx,
+            unk_idx=vocab.unk_idx,
         ),
     )
     params = load_params(args.load_path, cfg)

@@ -367,61 +367,54 @@ def main(argv=None):
                                 remat=args.remat)
     )
     if args.reinforce:
-        # remat threads into the re-score encoder exactly as in the XE step —
-        # without it the full-size SCST e2e backward needs ~30 GB of stage-2
-        # activation saves (caught by the recipe rehearsal's phase-6 OOM)
-        scst_inner = train_step.make_scst_step(
-            cfg, opt, end_to_end_model=end2end, num_samples=args.num_samples,
-            remat=args.remat,
-        )
-        scst_step = jax.jit(scst_inner)
         train_records = dataset.records("train")
-        reward_fn = CiderReward([r["captions"] for r in train_records])
-
-        from ..decode import sampling
-
-        def _sample(params, enc_input, rng, enc_num_pads=None):
-            if end2end:
-                enc = end_to_end.forward_enc(params, cfg, enc_input)
-            else:
-                enc = cap_mod.forward_enc(
-                    params, cfg, enc_input, enc_num_pads=enc_num_pads
-                )
-            return sampling.sample(
-                params["captioner"] if end2end else params, cap_cfg, enc,
-                args.num_samples, args.scst_max_len, rng,
-                vocab.sos_idx, vocab.eos_idx,
-                enc_num_pads=enc_num_pads,
-            )
-
-        sample_batch = jax.jit(_sample)
-
         if args.device_reward:
-            from ..train.device_cider import DeviceCiderCorpus, cider_reward
+            from ..train.device_cider import DeviceCiderCorpus
 
             dcorpus = DeviceCiderCorpus(
                 [r["captions"] for r in train_records], vocab
             )
-            df_tables = jax.device_put(dcorpus.device_tables())
-            probes, logn = dcorpus.probe_depths, dcorpus.log_ref_len
-
-            def _device_reward(tokens, lengths, ref_tables):
-                return cider_reward(
-                    tokens, lengths, ref_tables, df_tables, probes, logn
-                )
-
             # shared-forward fused step: encoder runs ONCE (vjp), sampling +
-            # device CIDEr + REINFORCE grad all in one jit
+            # device CIDEr + REINFORCE grad all in one jit. remat threads
+            # into the re-score encoder exactly as in the XE step — without
+            # it the full-size SCST e2e backward needs ~30 GB of stage-2
+            # activation saves (caught by the recipe rehearsal's phase-6 OOM)
             scst_fused = jax.jit(
                 train_step.make_scst_fused_step(
                     cfg, opt, end_to_end_model=end2end,
                     num_samples=args.num_samples,
                     scst_max_len=args.scst_max_len,
                     sos_idx=vocab.sos_idx, eos_idx=vocab.eos_idx,
-                    reward_fn=_device_reward, remat=args.remat,
+                    reward_fn=dcorpus.make_reward_fn(), remat=args.remat,
                     dropout=args.scst_dropout,
                 )
             )
+        else:
+            # host-reward path: sample jit -> host CIDEr -> grad jit
+            scst_inner = train_step.make_scst_step(
+                cfg, opt, end_to_end_model=end2end,
+                num_samples=args.num_samples, remat=args.remat,
+            )
+            scst_step = jax.jit(scst_inner)
+            reward_fn = CiderReward([r["captions"] for r in train_records])
+
+            from ..decode import sampling
+
+            def _sample(params, enc_input, rng, enc_num_pads=None):
+                if end2end:
+                    enc = end_to_end.forward_enc(params, cfg, enc_input)
+                else:
+                    enc = cap_mod.forward_enc(
+                        params, cfg, enc_input, enc_num_pads=enc_num_pads
+                    )
+                return sampling.sample(
+                    params["captioner"] if end2end else params, cap_cfg, enc,
+                    args.num_samples, args.scst_max_len, rng,
+                    vocab.sos_idx, vocab.eos_idx,
+                    enc_num_pads=enc_num_pads,
+                )
+
+            sample_batch = jax.jit(_sample)
 
     def materialize_enc_input(batch):
         """-> (enc_input, enc_num_pads or None)."""

@@ -245,6 +245,21 @@ class DeviceCiderCorpus:
     def probe_depths(self):
         return tuple(t["probes"] for t in self.tables)
 
+    def make_reward_fn(self):
+        """reward_fn(tokens, lengths, ref_tables) -> (B, S): `cider_reward`
+        closed over this corpus's df hash tables (placed on device once).
+        The single wiring point for every consumer (train CLI, benches, the
+        multichip dryrun) of train_step.make_scst_fused_step's reward_fn."""
+        df_tables = jax.device_put(self.device_tables())
+        probes, logn = self.probe_depths, self.log_ref_len
+
+        def reward_fn(tokens, lengths, ref_tables):
+            return cider_reward(
+                tokens, lengths, ref_tables, df_tables, probes, logn
+            )
+
+        return reward_fn
+
 
 def _df_lookup(lo, hi, t_lo, t_hi, t_idf, probes: int, log_ref_len: float):
     """idf of each packed gram via fixed-depth linear probing; miss -> log N

@@ -176,13 +176,12 @@ def main():
     # fully fused: sample + DEVICE CIDEr + grad in ONE jit (no host sync;
     # the only host work per iteration is the numpy table gather)
     from on_device_image_captioning_tpu.train.device_cider import (
-        DeviceCiderCorpus, cider_reward,
+        DeviceCiderCorpus,
     )
     from on_device_image_captioning_tpu.train.train_step import make_scst_step
 
     dcorpus = DeviceCiderCorpus(refs, vocab)
-    df_tables = jax.device_put(dcorpus.device_tables())
-    probes, logn = dcorpus.probe_depths, dcorpus.log_ref_len
+    device_reward = dcorpus.make_reward_fn()
     scst_inner = make_scst_step(
         cfg, opt, end_to_end_model=True, num_samples=num_samples
     )
@@ -195,10 +194,7 @@ def main():
             state.params["captioner"], cap_cfg, enc, num_samples,
             scst_max_len, rng_s, vocab.sos_idx, vocab.eos_idx,
         )
-        rewards = cider_reward(
-            sampled.tokens, sampled.lengths, ref_tables, df_tables,
-            probes, logn,
-        )
+        rewards = device_reward(sampled.tokens, sampled.lengths, ref_tables)
         return scst_inner(
             state, {"enc_input": images},
             {"tokens": sampled.tokens, "lengths": sampled.lengths},
@@ -225,15 +221,11 @@ def main():
         make_scst_fused_step,
     )
 
-    def _device_reward(tokens, lengths, ref_tables):
-        return cider_reward(tokens, lengths, ref_tables, df_tables,
-                            probes, logn)
-
     shared = jax.jit(
         make_scst_fused_step(
             cfg, opt, end_to_end_model=True, num_samples=num_samples,
             scst_max_len=scst_max_len, sos_idx=vocab.sos_idx,
-            eos_idx=vocab.eos_idx, reward_fn=_device_reward,
+            eos_idx=vocab.eos_idx, reward_fn=device_reward,
         )
     )
     bt = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idxs).items()}
