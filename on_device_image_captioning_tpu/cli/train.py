@@ -367,6 +367,15 @@ def main(argv=None):
                                 remat=args.remat)
     )
     if args.reinforce:
+        if args.scst_max_len > args.max_seq_len:
+            # the decoder's learned positional table has max_seq_len rows;
+            # sampling past it would silently clamp positions and the
+            # teacher-forced re-score would fail on a shape mismatch
+            raise SystemExit(
+                f"--scst_max_len {args.scst_max_len} exceeds --max_seq_len "
+                f"{args.max_seq_len} (the decoder's positional-embedding "
+                f"budget); lower scst_max_len or raise max_seq_len"
+            )
         train_records = dataset.records("train")
         if args.device_reward:
             from ..train.device_cider import DeviceCiderCorpus

@@ -35,20 +35,33 @@ def sample(
     eos_idx: int,
     dtype=None,
     enc_num_pads=None,
+    chunks=None,
 ) -> SampleResult:
     """enc_output: (B, S_enc, d_model). Jittable, static shapes.
 
-    enc_num_pads: (B,) trailing pad-row counts for padded feature batches."""
+    enc_num_pads: (B,) trailing pad-row counts for padded feature batches.
+    chunks: optional increasing cache-length schedule ending at max_seq_len
+    (chunked decode, same semantics as beam_loop's: the per-step dyn-step
+    kernels are bandwidth-bound on the vals caches, so early steps run on
+    short caches; positions beyond `pos` are masked, so results match the
+    single-phase form). Defaults to beam_search.default_chunk_schedule."""
+    from .beam_search import _grow_caches, default_chunk_schedule
+
     b = enc_output.shape[0]
     n = b * num_outputs
     L = max_seq_len
+    if chunks is None:
+        chunks = default_chunk_schedule(L)
+    assert chunks[-1] == L and tuple(chunks) == tuple(sorted(set(chunks))), (
+        f"chunk schedule {chunks} must increase to max_seq_len={L}"
+    )
 
     # the per-sample expansion of the encoder side stays VIRTUAL: K/V and the
     # enc mask keep one row per image, shared across each image's num_outputs
     # sample rows via dec_step's `group` (reference :129-134 materializes the
     # repeat; here only the mutable caches have n rows)
     state = dc.init_state(
-        params, cfg, enc_output, L + 1,
+        params, cfg, enc_output, chunks[0] + 1,
         dtype if dtype is not None else jnp.float32, enc_num_pads=enc_num_pads,
     )
     muts, static = dc.split_state(state)
@@ -65,9 +78,6 @@ def sample(
         rng: jax.Array
 
     tokens = jnp.zeros((n, L + 1), jnp.int32).at[:, 0].set(sos_idx)
-
-    def cond(c: Carry):
-        return (c.t < L) & ~jnp.all(c.finished)
 
     def body(c: Carry):
         t = c.t
@@ -94,7 +104,7 @@ def sample(
         finished = c.finished | is_eos
         return Carry(t + 1, tokens, logprobs, where_eos, finished, muts, rng)
 
-    init = Carry(
+    out = Carry(
         jnp.int32(0),
         tokens,
         jnp.zeros((n, L + 1), jnp.float32),
@@ -103,7 +113,17 @@ def sample(
         muts,
         rng,
     )
-    out = jax.lax.while_loop(cond, body, init)
+    # one while_loop per chunk; only the CACHES grow between phases (the
+    # token/logprob buffers are full-length throughout). Later phases run
+    # zero iterations once every row has sampled EOS.
+    for ci, chunk in enumerate(chunks):
+        if ci:
+            out = out._replace(muts=_grow_caches(out.muts, chunk + 1))
+
+        def cond(c: Carry, _chunk=chunk):
+            return (c.t < _chunk) & ~jnp.all(c.finished)
+
+        out = jax.lax.while_loop(cond, body, out)
 
     # zero logprobs after the first EOS (reference :206-215)
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, L + 1), 1)

@@ -239,6 +239,27 @@ def test_sampling_bookkeeping(tiny_params):
     assert (lps[:, 0] == 0).all()
 
 
+@pytest.mark.parametrize("chunks", [None, (6, 12, 18), (4, 18)])
+def test_sampling_chunked_matches_single_phase(tiny_params, chunks):
+    """Chunked sampling (short-cache early phases, beam_search._grow_caches
+    between while_loops) must reproduce the single-phase decode: identical
+    tokens/lengths, logprobs equal up to fp reduction order (contractions
+    span the cache length, so XLA groups the same nonzero terms
+    differently)."""
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((2, 7, TINY.img_feature_dim), dtype=np.float32)
+    cross = cap.forward_enc(tiny_params, TINY, feats)
+    kw = dict(num_outputs=3, max_seq_len=18, rng=jax.random.PRNGKey(0),
+              sos_idx=2, eos_idx=3)
+    base = sampling.sample(tiny_params, TINY, cross, chunks=(18,), **kw)
+    got = sampling.sample(tiny_params, TINY, cross, chunks=chunks, **kw)
+    assert np.array_equal(np.asarray(base.tokens), np.asarray(got.tokens))
+    assert np.array_equal(np.asarray(base.lengths), np.asarray(got.lengths))
+    np.testing.assert_allclose(
+        np.asarray(base.logprobs), np.asarray(got.logprobs), atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("seed,dyn_impl", [
     (21, "xla"), (22, "xla"), (23, "xla"), (24, "xla"),
     # the fused Pallas decode-step kernel must ALSO hold token-for-token beam
