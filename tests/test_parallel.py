@@ -73,6 +73,64 @@ def test_tp_sharded_forward_exact(setup):
                                atol=2e-5)
 
 
+def test_dp_sharded_fused_scst_step_matches_single_device(setup):
+    """The fused SCST step (sampling + device CIDEr-D + REINFORCE grad +
+    optimizer in one jit — what cli/train.py --reinforce --device_reward
+    runs) under a 4-way DP mesh must match the single-device step: identical
+    sampled rewards, and updated params equal up to the gradient psum's
+    reduction order."""
+    from on_device_image_captioning_tpu.data.text import (
+        EOS_TOKEN, PAD_TOKEN, SOS_TOKEN, UNK_TOKEN, Vocab,
+    )
+    from on_device_image_captioning_tpu.train import radam, train_step
+    from on_device_image_captioning_tpu.train.device_cider import (
+        DeviceCiderCorpus,
+    )
+
+    params, feats = setup
+    words = [PAD_TOKEN, UNK_TOKEN, SOS_TOKEN, EOS_TOKEN] + [
+        f"w{i}" for i in range(12)
+    ]
+    vocab = Vocab(word2idx={w: i for i, w in enumerate(words)})
+    refs = [["w0 w1 w2", "w1 w2 w3"], ["w5 w6", "w6 w7 w8"],
+            ["w2 w4 w6", "w0 w9"], ["w10 w11", "w3 w5 w7"]]
+    dcorpus = DeviceCiderCorpus(refs, vocab)
+
+    opt = radam.radam(lambda _: 1e-3, b1=0.9, b2=0.98, eps=1e-9)
+    step = jax.jit(
+        train_step.make_scst_fused_step(
+            TINY, opt, end_to_end_model=False, num_samples=2, scst_max_len=10,
+            sos_idx=TINY.sos_idx, eos_idx=TINY.eos_idx,
+            reward_fn=dcorpus.make_reward_fn(),
+        )
+    )
+    img_idx = np.arange(feats.shape[0]) % len(refs)
+    tables = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idx).items()}
+    batch = {"enc_input": jnp.asarray(feats)}
+    rng = jax.random.PRNGKey(5)
+
+    state = train_step.init_train_state(params, opt)
+    base_state, base_m = step(state, batch, tables, rng)
+
+    mesh = pm.make_mesh(n_data=4, n_model=1)
+    st_sh = pm.shard_train_state(train_step.init_train_state(params, opt), mesh)
+    got_state, got_m = step(
+        st_sh, pm.shard_batch(batch, mesh), pm.shard_batch(tables, mesh), rng
+    )
+    # per-row sampling/reward math is untouched by DP sharding
+    np.testing.assert_allclose(
+        float(got_m["reward"]), float(base_m["reward"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(got_m["loss"]), float(base_m["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(base_state.params),
+                    jax.tree.leaves(got_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-5, atol=2e-6
+        )
+
+
 def test_make_default_mesh_divides_batch():
     """The CLI-facing mesh constructor uses as many devices as evenly divide the
     batch (4 virtual devices in this suite)."""
