@@ -51,11 +51,11 @@ def main():
 
     import dataclasses
 
-    # b64 is the measured throughput optimum after the round-3 in-kernel
-    # window transitions + stage-3 attention core (sweep: b32 314.9 /
-    # b48 310.2 / b64 326.3 / b80 318.9 / b96 320.6 img/s; the r2 optimum
-    # was b48 = 312.3)
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # b80 is the measured throughput optimum after the chunked (12, L)
+    # short-decode schedule cheapened the decode phase (same-session sweep:
+    # b64 343.3 / b80 347.6 / b96 343.6 img/s; earlier optima: b64 after the
+    # in-kernel window transitions, b48 in round 2)
+    batch = int(os.environ.get("BENCH_BATCH", "80"))
     beam = int(os.environ.get("BENCH_BEAM", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     quant = os.environ.get("BENCH_QUANT", "none")  # none | w8 | w8a8
