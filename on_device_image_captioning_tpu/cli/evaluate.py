@@ -123,34 +123,77 @@ def evaluate_split(
     store = FeatureStore(features_path) if features_path else None
     predictions = {}
     t0 = time.time()
-    for start in range(0, len(records), batch_size):
-        chunk = records[start : start + batch_size]
-        pad_rows = batch_size - len(chunk)  # static batch: pad the tail chunk
-        if end2end:
-            imgs = preprocess_batch(
-                [r["img_path"] for r in chunk], cfg.swin.img_size
-            )
-            if pad_rows:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad_rows, 0)])
-            res = decode_batch(params, put({"x": imgs})["x"], None)
-        else:
-            feats, fpads = store.read_batch([r["img_id"] for r in chunk])
-            fpads = np.asarray(fpads, np.int32)
-            if pad_rows:
-                feats = np.concatenate([feats, np.repeat(feats[-1:], pad_rows, 0)])
-                fpads = np.concatenate([fpads, np.repeat(fpads[-1:], pad_rows, 0)])
-            arrays = put({"f": feats, "p": fpads})
-            res = decode_batch(params, arrays["f"], arrays["p"])
+
+    # software pipeline (same shape as cli/generate_features): a worker
+    # thread materializes the NEXT batch host-side (JPEG decode / HDF5 read
+    # + tail padding — GIL-releasing C code) while the device decodes the
+    # CURRENT one; the PREVIOUS result drains after the next dispatch, so
+    # host IO, H2D, beam decode, and D2H overlap (the reference loads each
+    # sub-batch synchronously inside the loop, test.py:166-197)
+    def batches():
+        for start in range(0, len(records), batch_size):
+            chunk = records[start : start + batch_size]
+            pad_rows = batch_size - len(chunk)  # static batch: pad the tail
+            if end2end:
+                imgs = preprocess_batch(
+                    [r["img_path"] for r in chunk], cfg.swin.img_size
+                )
+                if pad_rows:
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], pad_rows, 0)]
+                    )
+                yield chunk, {"x": imgs}
+            else:
+                feats, fpads = store.read_batch([r["img_id"] for r in chunk])
+                fpads = np.asarray(fpads, np.int32)
+                if pad_rows:
+                    feats = np.concatenate(
+                        [feats, np.repeat(feats[-1:], pad_rows, 0)]
+                    )
+                    fpads = np.concatenate(
+                        [fpads, np.repeat(fpads[-1:], pad_rows, 0)]
+                    )
+                yield chunk, {"f": feats, "p": fpads}
+
+    done = 0
+
+    def drain(pending):
+        nonlocal done
+        chunk, res = pending
         caps, _ = bs.captions_from_result(res)
         for r, row in zip(chunk, caps):
             predictions[r["img_id"]] = vocab.description(row[0]).lower()
+        done += len(chunk)
         if verbose:
-            done = min(start + batch_size, len(records))
             print(
                 f"decoded {done}/{len(records)} "
                 f"({done / max(time.time() - t0, 1e-9):.2f} img/s)",
                 flush=True,
             )
+
+    from ..data.prefetch import PrefetchIterator
+
+    it = iter(batches())
+    prefetch = PrefetchIterator(
+        next_batch=lambda: next(it), materialize=lambda b: b, depth=2
+    )
+    pending = None
+    while True:
+        try:
+            (chunk, arrays), _ = prefetch.get()
+        except StopIteration:
+            break
+        arrays = put(arrays)
+        if end2end:
+            res = decode_batch(params, arrays["x"], None)
+        else:
+            res = decode_batch(params, arrays["f"], arrays["p"])
+        if pending is not None:
+            drain(pending)
+        pending = (chunk, res)
+    if pending is not None:
+        drain(pending)
+    prefetch.close()
     if store:
         store.close()
 
