@@ -79,4 +79,39 @@ assert np.array_equal(loc, caps_arr[local]), (loc, caps_arr[local])
 params_h = pm.host_copy(state.params)
 checksum = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree.leaves(params_h)))
 print(f"WORKER {pid} hostcopy {checksum:.4f}", flush=True)
+
+# ---- fused SCST step across the process boundary (recipe phases 4-6,
+# reference train.py:124-172 under mp.spawn): sampling decode + device
+# CIDEr-D + REINFORCE gradient psum in one jit, each rank feeding its
+# loader shard of the reference tables.
+from on_device_image_captioning_tpu.data.text import (  # noqa: E402
+    EOS_TOKEN, PAD_TOKEN, SOS_TOKEN, UNK_TOKEN, Vocab,
+)
+from on_device_image_captioning_tpu.train.device_cider import (  # noqa: E402
+    DeviceCiderCorpus,
+)
+
+words = [PAD_TOKEN, UNK_TOKEN, SOS_TOKEN, EOS_TOKEN] + [f"w{i}" for i in range(8)]
+vocab = Vocab(word2idx={w: i for i, w in enumerate(words)})
+refs = [["w0 w1 w2", "w1 w2"], ["w5 w6", "w6 w7"],
+        ["w2 w4", "w0 w3"], ["w1 w7", "w3 w5"]]
+dcorpus = DeviceCiderCorpus(refs, vocab)  # same corpus on every rank
+scst_step = jax.jit(
+    train_step.make_scst_fused_step(
+        cfg, opt, end_to_end_model=False, num_samples=2, scst_max_len=8,
+        sos_idx=cfg.sos_idx, eos_idx=cfg.eos_idx,
+        reward_fn=dcorpus.make_reward_fn(),
+    )
+)
+tables_global = dcorpus.batch(np.arange(4))
+ref_tables = pm.shard_batch(
+    {k: jnp.asarray(v[local]) for k, v in tables_global.items()}, mesh
+)
+state, sm = scst_step(state, {"enc_input": batch["enc_input"]}, ref_tables,
+                      jax.random.PRNGKey(9))
+print(
+    f"WORKER {pid} scst loss {float(sm['loss']):.6f} "
+    f"reward {float(sm['reward']):.6f}",
+    flush=True,
+)
 jax.distributed.shutdown()

@@ -50,6 +50,7 @@ def test_two_process_distributed_xe_step(tmp_path):
 
     losses = {}
     checksums = {}
+    scst = {}
     for out in outs:
         m = re.search(r"WORKER (\d) loss ([\d.]+)", out)
         assert m, out[-3000:]
@@ -57,11 +58,17 @@ def test_two_process_distributed_xe_step(tmp_path):
         m = re.search(r"WORKER (\d) hostcopy ([\d.]+)", out)
         assert m, out[-3000:]
         checksums[int(m.group(1))] = float(m.group(2))
+        m = re.search(r"WORKER (\d) scst loss ([-\d.]+) reward ([\d.]+)", out)
+        assert m, out[-3000:]
+        scst[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
     assert set(losses) == {0, 1}
     # both processes computed the same global step and the same host copy of
     # the post-step params (the checkpoint-save path)
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
     np.testing.assert_allclose(checksums[0], checksums[1], rtol=1e-6)
+    # the fused SCST step (sampling + device CIDEr + gradient psum in one
+    # jit) also agrees across the process boundary
+    np.testing.assert_allclose(scst[0], scst[1], rtol=1e-5, atol=1e-7)
 
     # ground truth: the same global batch on this process's 4 local devices
     import jax
