@@ -303,14 +303,23 @@ def main(argv=None):
     parser.add_argument("--eval_loss", action="store_true")
     parser.add_argument("--n_model", type=int, default=1,
                         help="tensor-parallel mesh axis size (see cli/train.py)")
-    parser.add_argument("--attention_impl", choices=["xla", "pallas", "fused"],
-                        default="xla",
+    parser.add_argument("--attention_impl",
+                        choices=["auto", "xla", "pallas", "fused"],
+                        default="auto",
                         help="'fused' runs the Pallas whole-block Swin kernels "
                              "(~2x faster inference); 'xla' keeps the "
-                             "reference-exact op order for caption parity")
-    parser.add_argument("--dyn_step_impl", choices=["xla", "pallas"],
-                        default="xla", help="incremental decode step impl")
+                             "reference-exact op order for caption parity; "
+                             "'auto' (default) = fused on TPU, xla elsewhere")
+    parser.add_argument("--dyn_step_impl", choices=["auto", "xla", "pallas"],
+                        default="auto",
+                        help="incremental decode step impl; 'auto' (default) "
+                             "= pallas on TPU, xla elsewhere")
     args = parser.parse_args(argv)
+    from ..config import resolve_kernel_impls
+
+    args.attention_impl, args.dyn_step_impl = resolve_kernel_impls(
+        args.attention_impl, args.dyn_step_impl
+    )
 
     from ..config import CaptionerConfig, end_expansionnet_v2_coco, remove_layers
     from ..utils.checkpointing import load_checkpoint

@@ -113,18 +113,22 @@ def parse_args(argv=None):
                    help="jax.checkpoint the Swin blocks (the reference's "
                         "swin_use_checkpoint flag)")
     p.add_argument("--metrics_jsonl", type=str, default=None)
-    p.add_argument("--swin_attention_impl", choices=["xla", "pallas", "fused"],
-                   default="xla",
+    p.add_argument("--swin_attention_impl",
+                   choices=["auto", "xla", "pallas", "fused"],
+                   default="auto",
                    help="Swin kernel implementation: 'fused' runs the "
                         "whole-block Pallas kernels (ops/swin_block_fused) — "
                         "for SCST sampling and eval hooks, AND for gradient "
                         "forwards on the eligible stages via the training "
                         "custom VJP (requires swin drop/attn_drop = 0, the "
                         "reference recipe; ineligible stages fall back). fp "
-                        "reduction order differs slightly between impls")
-    p.add_argument("--dyn_step_impl", choices=["xla", "pallas"], default="xla",
+                        "reduction order differs slightly between impls. "
+                        "'auto' (default) = fused on TPU, xla elsewhere")
+    p.add_argument("--dyn_step_impl", choices=["auto", "xla", "pallas"],
+                   default="auto",
                    help="incremental decode-step kernel for SCST sampling and "
-                        "eval-hook beam search (ops/dyn_exp_step.py)")
+                        "eval-hook beam search (ops/dyn_exp_step.py); 'auto' "
+                        "(default) = pallas on TPU, xla elsewhere")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host SPMD: call jax.distributed.initialize() "
                         "(coordinator from JAX_COORDINATOR_ADDRESS etc.); the "
@@ -200,6 +204,11 @@ def main(argv=None):
         jax.distributed.initialize()
     random.seed(args.seed)
     np.random.seed(args.seed)
+    from ..config import resolve_kernel_impls
+
+    args.swin_attention_impl, args.dyn_step_impl = resolve_kernel_impls(
+        args.swin_attention_impl, args.dyn_step_impl
+    )
     if args.dyn_step_impl != "xla":
         from ..decode.cache import set_dyn_step_impl
 

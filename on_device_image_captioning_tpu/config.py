@@ -191,6 +191,22 @@ def end_expansionnet_v2_coco(
     )
 
 
+def resolve_kernel_impls(attention_impl: str, dyn_step_impl: str):
+    """Resolve the CLI-facing 'auto' kernel choices by backend: the fused
+    Pallas Swin kernels + Pallas decode step on TPU (the configuration every
+    perf number is measured at), the reference-exact XLA op order elsewhere
+    (CPU tests, parity work). Explicit choices pass through unchanged."""
+    if attention_impl == "auto" or dyn_step_impl == "auto":
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        if attention_impl == "auto":
+            attention_impl = "fused" if on_tpu else "xla"
+        if dyn_step_impl == "auto":
+            dyn_step_impl = "pallas" if on_tpu else "xla"
+    return attention_impl, dyn_step_impl
+
+
 def remove_layers(cfg: ModelConfig, param_config: int) -> ModelConfig:
     """Layer-removal ablations (reference: train.py:374-379).
 
