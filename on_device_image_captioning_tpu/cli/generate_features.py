@@ -75,14 +75,15 @@ def main(argv=None):
     params = swin_mod.prepare_inference_params(params, swin_cfg)
 
     store_dtype = np.dtype(args.feature_dtype)
-    transfer_dtype = jnp.float16 if store_dtype == np.float16 else jnp.float32
 
     @jax.jit
     def extract(params, images_u8):
         x = normalize_on_device(images_u8)
         y = swin_mod.swin_apply(params, swin_cfg, x, dtype=compute_dtype)
-        # cast ON DEVICE so the device->host transfer carries store_dtype bytes
-        return y.astype(transfer_dtype)
+        # f16 store: cast ON DEVICE so the transfer carries 2-byte elements.
+        # f32 store: ship the compute dtype as-is (bf16 under --bf16 — half
+        # the bytes) and upcast on the host in _drain.
+        return y.astype(jnp.float16) if store_dtype == np.float16 else y
 
     records = [r for s in args.splits for r in dataset.records(s)]
     print(f"extracting features for {len(records)} images", flush=True)
