@@ -62,6 +62,9 @@ def main(argv=None):
                         default="pallas",
                         help="incremental decode step implementation")
     args = parser.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from ..config import DecodeConfig, end_expansionnet_v2_coco, remove_layers
     from ..decode import beam_search as bs

@@ -55,6 +55,9 @@ def main(argv=None):
     parser.add_argument("--beam_size", type=int, default=5)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     args = parser.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     import dataclasses
 

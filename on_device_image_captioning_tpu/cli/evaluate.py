@@ -315,6 +315,9 @@ def main(argv=None):
                         help="incremental decode step impl; 'auto' (default) "
                              "= pallas on TPU, xla elsewhere")
     args = parser.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from ..config import resolve_kernel_impls
 
     args.attention_impl, args.dyn_step_impl = resolve_kernel_impls(

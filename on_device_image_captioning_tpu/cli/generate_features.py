@@ -46,6 +46,9 @@ def main(argv=None):
                              "README.md:166-168) and the device->host transfer. "
                              "Readers (data/features_io.py) cast to f32.")
     args = parser.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from ..data.datasets import load_coco_karpathy, load_vizwiz
     from ..data.features_io import FeatureStore

@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--beam_size", type=int, default=5)
     parser.add_argument("--max_seq_len", type=int, default=74)
     args = parser.parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     import dataclasses
 

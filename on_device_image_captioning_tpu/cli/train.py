@@ -200,6 +200,9 @@ def build_model_cfg(args, vocab, max_seq_len):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if args.distributed:
         jax.distributed.initialize()
     random.seed(args.seed)
