@@ -301,6 +301,13 @@ def main(argv=None):
                              "deploy.pruning.save_sparse (reference "
                              "test.py:455-459)")
     parser.add_argument("--eval_loss", action="store_true")
+    parser.add_argument("--dump_predictions", type=str, default=None,
+                        help="write decoded captions as JSON "
+                             "{beam_size: {img_id: caption}} — the artifact "
+                             "the reference prints per-image at "
+                             "test.py:216-224, made machine-readable so "
+                             "configurations can be diffed (fp32 vs bf16 vs "
+                             "int8 caption drift)")
     parser.add_argument("--n_model", type=int, default=1,
                         help="tensor-parallel mesh axis size (see cli/train.py)")
     parser.add_argument("--attention_impl",
@@ -409,15 +416,23 @@ def main(argv=None):
     mesh = pm.make_default_mesh(args.batch_size, n_model=args.n_model)
     if mesh.size > 1:
         print(f"SPMD mesh {dict(mesh.shape)} over {mesh.size} devices", flush=True)
+    dumped = {}
     for beam in args.beam_sizes:
         print(f"=== beam size {beam} ===", flush=True)
-        scores, _ = evaluate_split(
+        scores, predictions = evaluate_split(
             params, cfg, dataset, args.split, beam, args.batch_size,
             args.max_seq_len, args.features_path, mesh=mesh,
             metrics=tuple(args.metrics),
         )
         for k, v in scores.items():
             print(f"{k}: {v:.4f}", flush=True)
+        dumped[beam] = {str(k): v for k, v in predictions.items()}
+    if args.dump_predictions:
+        import json
+
+        with open(args.dump_predictions, "w") as f:
+            json.dump(dumped, f, indent=1)
+        print(f"predictions written to {args.dump_predictions}", flush=True)
     if args.eval_loss:
         loss = compute_evaluation_loss(
             params, cfg, dataset, args.split, args.batch_size, args.features_path

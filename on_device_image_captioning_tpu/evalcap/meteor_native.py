@@ -26,10 +26,11 @@ self-contained reimplementation of the METEOR algorithm (Denkowski & Lavie,
 - content/function word weighting: content words count delta, function words
   (1 - delta) in weighted P/R. The jar derives its function-word list from
   corpus frequency; here a standard English closed-class list is embedded.
-- alignment: per stage, left-to-right one-to-one resolution preferring the
-  pairing that extends a contiguous run (the jar beam-searches for the
-  minimum-chunk maximal alignment; on caption-length segments the greedy
-  tie-break almost always finds the same chunk count).
+- alignment: the jar's JOINT resolution (Denkowski & Lavie 2011 §2.1) over
+  all modules' candidate matches — lexicographically maximize covered words,
+  minimize chunks, minimize match-start distance, maximize weighted
+  coverage — solved exactly by DP over hypothesis positions (see _align;
+  the jar runs a width-40 beam search over the same objective).
 - corpus score: aggregate sufficient statistics over segments (same
   micro-average the jar reports as its final score), each segment scored
   against its best-matching reference.
@@ -437,6 +438,67 @@ def porter_stem(word: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _candidate_matches(
+    hyp: List[str],
+    ref: List[str],
+    stage_weights: Tuple[float, ...],
+    synonyms: Dict[str, frozenset],
+) -> List[tuple]:
+    """All possible matches from every active module, as
+    (hyp_start, ref_start, weight, hyp_len, ref_len) records. A pair
+    proposed by several modules keeps the EARLIEST module's weight (the
+    jar's module-priority rule — e.g. a pair that is both stem- and
+    synonym-equal scores as a stem match). Modules in the jar's order
+    (reference eval/meteor/meteor.py:41-51): exact / stem / synonym at word
+    granularity, paraphrase at span granularity over the embedded
+    PARAPHRASE_GROUPS table (standing in for paraphrase-en.gz)."""
+    cands: Dict[tuple, tuple] = {}
+
+    def add(i, j, w, hl, rl):
+        key = (i, j, hl, rl)
+        if key not in cands:
+            cands[key] = (i, j, w, hl, rl)
+
+    for i, t in enumerate(hyp):
+        for j, r in enumerate(ref):
+            if t == r:
+                add(i, j, stage_weights[0], 1, 1)
+    if len(stage_weights) >= 2:
+        hstem = [porter_stem(t) for t in hyp]
+        rstem = [porter_stem(t) for t in ref]
+        for i, hs in enumerate(hstem):
+            for j, rs in enumerate(rstem):
+                if hs == rs:
+                    add(i, j, stage_weights[1], 1, 1)
+    if len(stage_weights) >= 3:
+        hids = [synonyms.get(t, _NO_SYN) for t in hyp]
+        rids = [synonyms.get(t, _NO_SYN) for t in ref]
+        for i, hi in enumerate(hids):
+            for j, ri in enumerate(rids):
+                if hi & ri:
+                    add(i, j, stage_weights[2], 1, 1)
+    if len(stage_weights) >= 4:
+
+        def spans(toks):
+            out = []
+            for s in range(len(toks)):
+                for ln in range(1, min(_MAX_PARA_LEN, len(toks) - s) + 1):
+                    gids = _PARA_IDS.get(tuple(toks[s : s + ln]))
+                    if gids:
+                        out.append((s, ln, gids))
+            return out
+
+        rspans = spans(ref)
+        for s, ln, gids in spans(hyp):
+            for rs, rln, rgids in rspans:
+                if gids & rgids:
+                    add(s, rs, stage_weights[3], ln, rln)
+    return sorted(cands.values())
+
+
+_MAX_ALIGN_STATES = 512  # beam cap; the jar's own Aligner beam is 40
+
+
 def _align(
     hyp: List[str],
     ref: List[str],
@@ -445,97 +507,95 @@ def _align(
     ),
     synonyms: Dict[str, frozenset] = None,
 ) -> List[tuple]:
-    """Matches in the jar's module order (reference eval/meteor/meteor.py:
-    41-51: exact/stem/synonym/paraphrase at 1.0/0.6/0.8/0.6): word stages
-    emit one-to-one (hyp_idx, ref_idx, stage_weight) triples; the paraphrase
-    stage emits SPAN records (hyp_idx, ref_idx, weight, hyp_len, ref_len)
-    matching leftover phrases through the embedded PARAPHRASE_GROUPS table
-    (standing in for the jar's pivot-derived paraphrase-en.gz). Ties
-    resolved by preferring the ref position that continues the previous
-    match's run (chunk minimization).
+    """Jar-faithful joint alignment (METEOR 1.3/1.5 Aligner; Denkowski &
+    Lavie 2011 §2.1): from ALL modules' candidate matches, select a
+    one-to-one, span-disjoint subset that lexicographically
 
-    stage_weights: per-stage match weights; pass 2 entries for exact/stem
-    only, 3 to add synonyms, 4 (default) for all stages, or all-1.0 for
-    METEOR 1.0 mechanics (the nltk cross-validation). synonyms: word ->
-    group-id sets (defaults to the embedded caption-domain table)."""
+      1. maximizes the number of covered words across BOTH sentences,
+      2. minimizes the number of chunks,
+      3. minimizes the sum of absolute distances between match start
+         positions (|hyp_start - ref_start|),
+      4. maximizes the WEIGHTED coverage (sum of module weight x covered
+         words) — so among otherwise-equal alignments, higher-precision
+         modules win (an exact pair is never displaced by a paraphrase span
+         over the same words; the jar gets this from its module-ordered
+         search),
+
+    resolved by dynamic programming over hypothesis positions with state
+    (used-ref-positions mask, previous match end) — EXACT whenever the
+    per-position state count stays under _MAX_ALIGN_STATES (always, for
+    caption-length segments); beyond that the worst states are pruned,
+    degrading to a beam search wider than the jar's own (width 40).
+    This replaces the earlier greedy run-continuation tie-break, whose
+    chunk counts deviated from the minimum on ~11% of fuzzed pairs
+    (VERDICT r3 item 5).
+
+    Word matches return (hyp_idx, ref_idx, stage_weight) triples; the
+    paraphrase module returns SPAN records (hyp_idx, ref_idx, weight,
+    hyp_len, ref_len). stage_weights: per-module match weights; pass 2
+    entries for exact/stem only, 3 to add synonyms, 4 (default) for all
+    modules, or all-1.0 for METEOR 1.0 mechanics (the nltk
+    cross-validation). synonyms: word -> group-id sets (defaults to the
+    embedded caption-domain table)."""
     if synonyms is None:
         synonyms = _SYN_IDS
-    matches: List[Tuple[int, int, float]] = []
-    hyp_used = [False] * len(hyp)
-    ref_used = [False] * len(ref)
+    cands = _candidate_matches(hyp, ref, stage_weights, synonyms)
+    if not cands:
+        return []
+    by_start: Dict[int, List[tuple]] = {}
+    for c in cands:
+        by_start.setdefault(c[0], []).append(c)
 
-    def key_stage(keyer):
-        ref_keys = [keyer(t) for t in ref]
-        return lambda tok: [
-            j for j, rk in enumerate(ref_keys)
-            if rk == keyer(tok) and not ref_used[j]
-        ]
+    # DP state: key (ref_mask, prev_h_end, prev_r_end) ->
+    #   (covered, chunks, dist, wcov, matches-tuple); prev_* identify whether
+    # the next match continues the previous one's run (chunk accounting).
+    start = {(0, -1, -1): (0, 0, 0, 0.0, ())}
+    states = {0: start}
+    for i in range(len(hyp)):
+        cur = states.pop(i, None)
+        if cur is None:
+            continue
+        if len(cur) > _MAX_ALIGN_STATES:  # beam fallback (never for captions)
+            kept = sorted(
+                cur.items(),
+                key=lambda kv: (-kv[1][0], kv[1][1], kv[1][2], -kv[1][3]),
+            )[:_MAX_ALIGN_STATES]
+            cur = dict(kept)
 
-    def syn_stage():
-        ref_ids = [synonyms.get(t, _NO_SYN) for t in ref]
-        return lambda tok: [
-            j for j, rid in enumerate(ref_ids)
-            if (rid & synonyms.get(tok, _NO_SYN)) and not ref_used[j]
-        ]
+        def merge(pos, key, val):
+            tgt = states.setdefault(pos, {})
+            old = tgt.get(key)
+            if old is None or (-val[0], val[1], val[2], -val[3]) < (
+                -old[0], old[1], old[2], -old[3]
+            ):
+                tgt[key] = val
 
-    stage_cands = [key_stage(lambda t: t), key_stage(porter_stem), syn_stage()]
-    for cand_fn, weight in zip(stage_cands, stage_weights):
-        prev_ref = -2
-        for i, tok in enumerate(hyp):
-            if hyp_used[i]:
-                prev = [m for m in matches if m[0] == i]
-                prev_ref = prev[0][1] if prev else prev_ref
-                continue
-            cands = cand_fn(tok)
-            if not cands:
-                continue
-            # prefer a candidate adjacent to the previous matched ref position
-            j = next((c for c in cands if c == prev_ref + 1), cands[0])
-            matches.append((i, j, weight))
-            hyp_used[i] = True
-            ref_used[j] = True
-            prev_ref = j
-
-    if len(stage_weights) >= 4:
-        para_w = stage_weights[3]
-
-        def free_spans(toks, used, max_len):
-            """(start, phrase-tuple, group-ids) over fully-unused spans."""
-            out = []
-            for s in range(len(toks)):
-                for ln in range(min(max_len, len(toks) - s), 0, -1):
-                    if any(used[s : s + ln]):
-                        continue
-                    gids = _PARA_IDS.get(tuple(toks[s : s + ln]))
-                    if gids:
-                        out.append((s, ln, gids))
-                        break  # longest span at this start wins
-            return out
-
-        # hyp scanned left-to-right, longest-first; ref candidates prefer
-        # the span adjacent to the previous matched ref position
-        prev_end = -1
-        for s, ln, gids in free_spans(hyp, hyp_used, _MAX_PARA_LEN):
-            if any(hyp_used[s : s + ln]):
-                continue  # consumed by an earlier (overlapping) span match
-            rcands = [
-                (rs, rln)
-                for rs, rln, rgids in free_spans(ref, ref_used, _MAX_PARA_LEN)
-                if rgids & gids
-            ]
-            if not rcands:
-                continue
-            rs, rln = next(
-                (c for c in rcands if c[0] == prev_end), rcands[0]
-            )
-            matches.append((s, rs, para_w, ln, rln))
-            for t in range(ln):
-                hyp_used[s + t] = True
-            for t in range(rln):
-                ref_used[rs + t] = True
-            prev_end = rs + rln
-    matches.sort(key=lambda m: m[:2])
-    return matches
+        for key, val in cur.items():
+            mask, ph, pr = key
+            covered, chunks, dist, wcov, ms = val
+            merge(i + 1, key, val)  # leave hyp[i] unmatched
+            for (s, rs, w, hl, rl) in by_start.get(i, ()):
+                span_mask = ((1 << rl) - 1) << rs
+                if mask & span_mask:
+                    continue
+                cont = ph == s and pr == rs
+                rec = (s, rs, w) if hl == 1 and rl == 1 else (s, rs, w, hl, rl)
+                merge(
+                    s + hl,
+                    (mask | span_mask, s + hl, rs + rl),
+                    (
+                        covered + hl + rl,
+                        chunks + (0 if cont else 1),
+                        dist + abs(s - rs),
+                        wcov + w * (hl + rl),
+                        ms + (rec,),
+                    ),
+                )
+    final = states.get(len(hyp), {})
+    if not final:
+        return []
+    best = min(final.values(), key=lambda v: (-v[0], v[1], v[2], -v[3]))
+    return list(best[4])
 
 
 def _spans(matches: List[tuple]) -> List[Tuple[int, int, float, int, int]]:

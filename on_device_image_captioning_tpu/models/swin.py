@@ -1019,7 +1019,6 @@ def _run_stage_fused_windows_train(
         swin_attn_half_fused_train,
         swin_block_fused_train,
         swin_mlp_half_fused_train,
-        train_fwd_wpb,
     )
 
     b, l, c = x.shape
@@ -1031,9 +1030,6 @@ def _run_stage_fused_windows_train(
     dk = c // heads
     scale = float(cfg.qk_scale if cfg.qk_scale is not None else dk**-0.5)
     gather_bias = _rel_bias_gather(window)
-    wpb = train_fwd_wpb(num_windows, n, c, b * num_windows)
-    strips_per_img = num_windows // wpb
-
     def dp_scale(key, rate):
         # same per-image multiplier _drop_path would draw from this key
         if key is None:
@@ -1057,9 +1053,9 @@ def _run_stage_fused_windows_train(
         )
         bias = gather_bias(bp["attn"]["rel_bias"]).reshape(n, n, heads)
         bias = bias.transpose(2, 0, 1)
-        m1 = jnp.repeat(dp_scale(k_dp1, rate), strips_per_img)[:, None]
+        m1 = dp_scale(k_dp1, rate)  # per-image (B,): the kernels' contract
         if mode == "full":
-            m2 = jnp.repeat(dp_scale(k_dp2, rate), strips_per_img)[:, None]
+            m2 = dp_scale(k_dp2, rate)
             p_used = {
                 "norm1": bp["norm1"],
                 "attn": {"qkv": bp["attn"]["qkv"], "proj": bp["attn"]["proj"]},
@@ -1142,7 +1138,6 @@ def _swin_block_fused_train_path(
         swin_attn_half_fused_train,
         swin_block_fused_train,
         swin_mlp_half_fused_train,
-        train_fwd_wpb,
     )
 
     b, l, c = x.shape
@@ -1174,12 +1169,10 @@ def _swin_block_fused_train_path(
         mask_b = jax.random.bernoulli(key, keep, (b,))
         return jnp.where(mask_b, 1.0 / keep, 0.0).astype(jnp.float32)
 
-    wpb = train_fwd_wpb(num_windows, n, c, xw.shape[0])
-    strips_per_img = num_windows // wpb
-    m1 = jnp.repeat(dp_scale(k_dp1), strips_per_img)[:, None]
+    m1 = dp_scale(k_dp1)  # per-image (B,): the kernels' contract
 
     if mode == "full":
-        m2 = jnp.repeat(dp_scale(k_dp2), strips_per_img)[:, None]
+        m2 = dp_scale(k_dp2)
         p_used = {
             "norm1": p["norm1"],
             "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]},

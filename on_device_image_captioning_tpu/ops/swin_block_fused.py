@@ -1224,13 +1224,17 @@ def _train_weights(p, dtype):
     ]
 
 
-def _train_fwd_call(x, p, bias, mask, m1s, m2s, heads, num_windows, scale, eps):
-    """Forward pallas_call for training: returns (y, x2). m1s/m2s: (strips,)
-    f32 per-strip stochastic-depth scales."""
+def _train_fwd_call(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps):
+    """Forward pallas_call for training: returns (y, x2). m1/m2: (B,) f32
+    per-IMAGE stochastic-depth scales (B = bw // num_windows), expanded HERE
+    to the kernel's own strip granularity — correct for any strip size
+    because strips never straddle an image (wpb divides num_windows)."""
     bw, n, c = x.shape
     wpb = train_fwd_wpb(num_windows, n, c, bw)
     grid = (bw // wpb,)
     mask_blocks = num_windows // wpb
+    m1s = jnp.repeat(m1, mask_blocks)
+    m2s = jnp.repeat(m2, mask_blocks)
 
     def const(shape):
         return pl.BlockSpec(
@@ -2085,18 +2089,30 @@ def swin_block_fused_train(x, p, bias, mask, m1, m2, heads, num_windows, scale, 
     VMEM). x: (B*nW, n, c) window-partitioned input; p: DENSE block params;
     bias: (H, n, n) materialized relative-position bias (its table gradient
     flows through the caller's gather); mask: (nW, n, n) shift mask or None;
-    m1/m2: (fwd strips, 1) f32 stochastic-depth scales (0 or 1/keep —
-    reference models/swin_transformer_mod.py:25-40). CONTRACT: the scales
-    must be constant per image (the drop-path semantics; how every caller
-    builds them, models/swin.py dp_scale). The backward re-tiles them to its
-    own independent strip size by reading each backward strip's first
-    window, which is only correct under that constancy — a genuinely
-    per-strip m1/m2 would silently produce wrong gradients when the strip
-    sizes don't nest. Returns the block output; the VJP recomputes internals
-    in two fused kernels (attention-half over window strips, MLP-half over
-    flat rows) from the saved (x, x2)."""
+    m1/m2: (B,) f32 per-IMAGE stochastic-depth scales (0 or 1/keep —
+    reference models/swin_transformer_mod.py:25-40, where B = bw //
+    num_windows). Per-image granularity IS the drop-path contract; taking
+    the scales at that granularity (instead of the former per-forward-strip
+    arrays) makes a per-strip-varying scale inexpressible — forward and
+    backward each expand to their own independent strip size exactly
+    (strips never straddle an image). Returns the block output; the VJP
+    recomputes internals in two fused kernels (attention-half over window
+    strips, MLP-half over flat rows) from the saved (x, x2)."""
+    _check_per_image_scales(x, num_windows, m1, m2)
     y, _ = _train_fwd_call(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps)
     return y
+
+
+def _check_per_image_scales(x, num_windows, *scales):
+    b = x.shape[0] // num_windows
+    for m in scales:
+        if m.shape != (b,):
+            raise ValueError(
+                "stochastic-depth scales must be per-image (B,) ="
+                f" ({b},); got {m.shape}. Strip-granular scales violate the"
+                " drop-path contract (constant per image) and are no longer"
+                " representable."
+            )
 
 
 def _train_fwd_rule(x, p, bias, mask, m1, m2, heads, num_windows, scale, eps):
@@ -2108,27 +2124,21 @@ def _train_bwd_rule(heads, num_windows, scale, eps, res, dy):
     x, x2, p, bias, mask, m1, m2 = res
     bw, n, c = x.shape
     rows = bw * n
-    strips = m2.shape[0]
-    # MLP half over flat rows; rpp must divide rows AND keep row blocks within
-    # one strip so the per-strip m2 scalar is constant over a block
-    strip_rows = rows // strips
+    # MLP half over flat rows; rpp must divide rows AND keep row blocks
+    # within one image so the per-image m2 scalar is constant over a block
+    rows_per_image = num_windows * n
     hidden = p["mlp"]["fc1"]["w"].shape[1]
     # half the inference budget: the bwd holds fp32 dg/h1 temps + fp32
     # weight-grad accumulators beside the weights
-    rpp = _mlp_rows_per_program(strip_rows, hidden, budget=2_200_000)
-    m2_rows = jnp.repeat(m2, strip_rows // rpp, axis=0)
+    rpp = _mlp_rows_per_program(rows_per_image, hidden, budget=2_200_000)
+    m2_rows = jnp.repeat(m2, rows_per_image // rpp)[:, None]
     dx2_flat, dw1, db1, dw2, db2, dg2, dbe2 = _mlp_bwd_dispatch(
         x2.reshape(rows, c), dy.reshape(rows, c), p, m2_rows, eps, rpp
     )
     wpb = _bwd_wpb(num_windows, n, c, bw)
-    # m1 was built per FORWARD strip; re-tile to the backward strip size by
-    # reading each backward strip's FIRST window. Forward and backward strip
-    # sizes are independent divisors of num_windows (they need not nest), so
-    # this is correct only because m1 is constant per image (the kernels'
-    # documented contract) and strips never straddle an image boundary.
-    fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
-    m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
-    m1_bwd = m1_per_window[::wpb]
+    # m1 is per image, so expanding to the backward's own strip size is
+    # exact regardless of the (independent) forward strip size
+    m1_bwd = jnp.repeat(m1, num_windows // wpb)[:, None]
     dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_dispatch(
         x, dx2_flat.reshape(bw, n, c), p, bias, mask, m1_bwd,
         heads, num_windows, scale, eps, wpb,
@@ -2203,10 +2213,12 @@ def _attn_half_train_no_mask(
     )
 
 
-def _attn_half_train_fwd_call(x, p, bias, mask, m1s, heads, num_windows, scale, eps):
+def _attn_half_train_fwd_call(x, p, bias, mask, m1, heads, num_windows, scale, eps):
     bw, n, c = x.shape
     wpb = train_fwd_wpb(num_windows, n, c, bw)
     mask_blocks = num_windows // wpb
+    # m1: (B,) per-image scales -> per-strip (see _train_fwd_call)
+    m1s = jnp.repeat(m1, mask_blocks)
 
     def const(shape):
         return pl.BlockSpec(
@@ -2261,11 +2273,12 @@ def swin_attn_half_fused_train(x, p, bias, mask, m1, heads, num_windows, scale, 
     attention-half weights fit VMEM but the full block set doesn't. x:
     (B*nW, n, c) window-partitioned; p: {'norm1', 'attn': {'qkv', 'proj'}}
     (dense); bias: (H, n, n) materialized rel-pos bias (table grad flows
-    through the caller's gather); m1: (fwd strips, 1) f32 stochastic-depth
-    scales — must be constant per image (see swin_block_fused_train's
-    CONTRACT note; the backward re-tiles across its own strip size). The
-    VJP recomputes the attention internals from the saved x with the
-    full-block VJP's backward kernel."""
+    through the caller's gather); m1: (B,) f32 per-IMAGE stochastic-depth
+    scales (see swin_block_fused_train — per-image granularity makes a
+    strip-varying scale inexpressible; fwd and bwd expand to their own strip
+    sizes exactly). The VJP recomputes the attention internals from the
+    saved x with the full-block VJP's backward kernel."""
+    _check_per_image_scales(x, num_windows, m1)
     return _attn_half_train_fwd_call(
         x, p, bias, mask, m1, heads, num_windows, scale, eps
     )
@@ -2282,11 +2295,8 @@ def _attn_half_train_bwd_rule(heads, num_windows, scale, eps, res, dy):
     x, p, bias, mask, m1 = res
     bw, n, c = x.shape
     wpb = _bwd_wpb(num_windows, n, c, bw)
-    # per-backward-strip re-tile: valid because m1 is constant per image
-    # (documented contract — see _train_bwd_rule's note)
-    fwd_wpb = train_fwd_wpb(num_windows, n, c, bw)
-    m1_per_window = jnp.repeat(m1, fwd_wpb, axis=0)  # (bw, 1)
-    m1_bwd = m1_per_window[::wpb]
+    # m1 is per image: expanding to the backward's own strip size is exact
+    m1_bwd = jnp.repeat(m1, num_windows // wpb)[:, None]
     dx, dwqkv, dbqkv, dwproj, dbproj, dg1, dbe1, dbias = _attn_bwd_dispatch(
         x, dy, p, bias, mask, m1_bwd, heads, num_windows, scale, eps, wpb
     )

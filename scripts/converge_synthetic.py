@@ -1,0 +1,475 @@
+"""Synthetic-corpus convergence run (VERDICT r3 item 1): the first
+demonstrated train -> CIDEr result through this framework's OWN pipeline.
+
+Real COCO images and the reference's rf_model.pth are environment-blocked
+(zero egress), so this drives the full production path — JPEG decode, XE
+end-to-end training from scratch, SCST with the on-device CIDEr-D reward,
+checkpoint handoffs, beam decode, and ALL FIVE native scorers via
+cli/evaluate.py — on a LEARNABLE synthetic captioning task (the reference's
+whole point is train->CIDEr: /root/reference/train.py:47-302,
+/root/reference/test.py:141-275; this converts the repo's unit/parity tests
+into one end-to-end existence proof).
+
+The task: 384x384 JPEGs each showing one colored shape at one of five
+positions on a colored background, with five paraphrased reference captions
+per image ("a red circle in the top left of a gray background", ...). Slots:
+6 colors x 4 shapes x 5 positions x 3 backgrounds = 360 concepts; splits are
+disjoint IMAGES (independent jitter/noise/color perturbation), so test
+measures generalization over nuisance plus ~19% unseen slot combinations.
+The vocabulary is the FULL 10k entries (caption words + fillers) so the
+decoder trains at the real COCO output-softmax size.
+
+Model: reduced-but-real — Swin-S geometry at the flagship's 384/window-12
+resolution grid (embed 96, depths [2,2,6,2] -> the SAME window/token
+geometry the fused Pallas kernels serve, so bf16-fused serving drift is
+measured with the production kernels) + the FULL flagship captioner head
+(d512, N3+N3, ff 2048, exp [32,64,128,256,512], 10k vocab).
+
+Also covers VERDICT r3 item 2 (serving-config caption drift): the trained
+checkpoint is decoded fp32-XLA vs bf16-fused vs w8 vs w8a8 on the held-out
+split; the report gives % token-identical captions + all-metric deltas.
+
+    python scripts/converge_synthetic.py [--tiny] [--from_phase N]
+        [--xe_epochs N] [--scst_epochs N] [--data DIR] [--saves DIR]
+"""
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "on_device_image_captioning_tpu"
+VOCAB_WORDS = 10_000
+
+COLORS = {
+    "red": (215, 45, 45), "green": (45, 175, 70), "blue": (50, 85, 215),
+    "yellow": (230, 215, 55), "purple": (150, 60, 200), "orange": (235, 140, 35),
+}
+SHAPES = ("circle", "square", "triangle", "cross")
+POSITIONS = {  # anchor in unit coords (x, y)
+    "top left": (0.25, 0.25), "top right": (0.75, 0.25),
+    "bottom left": (0.25, 0.75), "bottom right": (0.75, 0.75),
+    "center": (0.5, 0.5),
+}
+BGS = {"gray": (112, 112, 112), "navy": (28, 32, 82), "olive": (96, 100, 44)}
+TEMPLATES = (
+    "a {color} {shape} in the {pos} of a {bg} background",
+    "the {bg} picture shows a {color} {shape} at the {pos}",
+    "there is a {color} {shape} near the {pos} of the image",
+    "a {bg} background with a {color} {shape} at the {pos}",
+    "one {color} {shape} appears in the {pos} area",
+)
+
+
+def render(rng, size, color, shape, pos, bg):
+    """One sample image: solid background + one shape, with per-image jitter
+    (position, scale, per-channel color, pixel noise) so every image is
+    unique and the splits test nuisance generalization."""
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    def jit_color(c, amt=14):
+        return tuple(
+            int(np.clip(v + rng.integers(-amt, amt + 1), 0, 255)) for v in c
+        )
+
+    img = Image.new("RGB", (size, size), jit_color(BGS[bg]))
+    d = ImageDraw.Draw(img)
+    ax, ay = POSITIONS[pos]
+    jit = size * 0.05
+    cx = ax * size + rng.uniform(-jit, jit)
+    cy = ay * size + rng.uniform(-jit, jit)
+    r = size * rng.uniform(0.10, 0.16)
+    col = jit_color(COLORS[color])
+    if shape == "circle":
+        d.ellipse([cx - r, cy - r, cx + r, cy + r], fill=col)
+    elif shape == "square":
+        d.rectangle([cx - r, cy - r, cx + r, cy + r], fill=col)
+    elif shape == "triangle":
+        d.polygon(
+            [(cx, cy - r), (cx - r, cy + r * 0.8), (cx + r, cy + r * 0.8)],
+            fill=col,
+        )
+    elif shape == "cross":
+        w = r * 0.38
+        d.rectangle([cx - r, cy - w, cx + r, cy + w], fill=col)
+        d.rectangle([cx - w, cy - r, cx + w, cy + r], fill=col)
+    arr = np.asarray(img, np.float32) + rng.normal(0, 5, (size, size, 3))
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def make_data(data_dir, n_train, n_val, n_test, size, vocab_words):
+    """Write JPEGs + dataset_coco.json (Karpathy format) + a full-size vocab
+    JSON (caption words + fill-words up to `vocab_words`, sorted — the
+    reference's sorted-vocab convention, data/coco_dataset.py:127-181)."""
+    import numpy as np
+
+    img_dir = os.path.join(data_dir, "MS_COCO_2014", "coco", "img")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(20260819)
+    colors, shapes = list(COLORS), list(SHAPES)
+    positions, bgs = list(POSITIONS), list(BGS)
+    items = []
+    t0 = time.time()
+    total = n_train + n_val + n_test
+    for i in range(total):
+        split = (
+            "train" if i < n_train
+            else "val" if i < n_train + n_val
+            else "test"
+        )
+        color = colors[rng.integers(len(colors))]
+        shape = shapes[rng.integers(len(shapes))]
+        pos = positions[rng.integers(len(positions))]
+        bg = bgs[rng.integers(len(bgs))]
+        fname = f"synthetic_{i:06d}.jpg"
+        path = os.path.join(img_dir, fname)
+        if not os.path.exists(path):
+            from PIL import Image
+
+            Image.fromarray(render(rng, size, color, shape, pos, bg)).save(
+                path, quality=88
+            )
+        caps = [
+            t.format(color=color, shape=shape, pos=pos, bg=bg)
+            for t in TEMPLATES
+        ]
+        items.append({
+            "cocoid": i, "filepath": "coco", "filename": fname,
+            "split": split, "sentences": [{"raw": c} for c in caps],
+        })
+    with open(os.path.join(data_dir, "dataset_coco.json"), "w") as f:
+        json.dump({"images": items}, f)
+
+    # full-size vocabulary: every caption word + fillers up to vocab_words
+    words = set()
+    for t in TEMPLATES:
+        words.update(
+            t.format(color="x", shape="x", pos="x", bg="x").split()
+        )
+    words.discard("x")
+    words.update(COLORS); words.update(SHAPES); words.update(BGS)
+    for p in POSITIONS:
+        words.update(p.split())
+    words.update({"PAD", "SOS", "EOS", "UNK"})
+    k = 0
+    while len(words) < vocab_words:
+        words.add(f"fill{k:05d}")
+        k += 1
+    idx2word = sorted(words)
+    vocab_path = os.path.join(data_dir, "synthetic_vocab.json")
+    with open(vocab_path, "w") as f:
+        json.dump({w: i for i, w in enumerate(idx2word)}, f)
+    print(
+        f"data: {total} JPEGs + annotations + {len(idx2word)}-word vocab "
+        f"in {time.time() - t0:.1f}s", flush=True,
+    )
+    return vocab_path
+
+
+FORCE_CPU = False
+
+
+def run(tag, args_list, env=None):
+    """Run `python -m <module> <argv>` as a phase subprocess; tee tail to
+    stdout, full log to /tmp. Same CPU-pinning shim as rehearse_recipe.py
+    (the axon TPU plugin ignores JAX_PLATFORMS=cpu from the environment)."""
+    t0 = time.time()
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    if FORCE_CPU:
+        mod, argv = args_list[0], args_list[1:]
+        code = (
+            "import sys, json, runpy, jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            f"sys.argv = ['python'] + json.loads({json.dumps(json.dumps(argv))})\n"
+            f"runpy.run_module({mod!r}, run_name='__main__')\n"
+        )
+        cmd = [sys.executable, "-c", code]
+    else:
+        cmd = [sys.executable, "-m"] + args_list
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=e,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    dt = time.time() - t0
+    log = os.path.join("/tmp", f"converge_{tag.split()[0]}.log")
+    with open(log, "w") as f:
+        f.write(proc.stdout)
+    tail = "\n".join(proc.stdout.strip().splitlines()[-14:])
+    print(f"--- {tag}: rc={proc.returncode} in {dt:.1f}s (log: {log}) ---\n"
+          f"{tail}\n", flush=True)
+    if proc.returncode != 0:
+        raise SystemExit(f"{tag} failed (rc={proc.returncode})")
+    return log, dt
+
+
+def latest(d):
+    cs = sorted(
+        (os.path.join(d, f) for f in os.listdir(d)
+         if f.startswith("checkpoint_")),
+        key=os.path.getmtime,
+    )
+    assert cs, f"no checkpoint in {d}"
+    return cs[-1]
+
+
+def parse_scores(log_path):
+    """Pull 'Metric: 0.1234' lines out of an evaluate-CLI log."""
+    keys = ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
+            "CIDEr", "SPICE")
+    scores = {}
+    with open(log_path) as f:
+        for line in f:
+            m = re.match(r"^(\w+): ([-\d.]+)$", line.strip())
+            if m and m.group(1) in keys:
+                scores[m.group(1)] = float(m.group(2))
+    return scores
+
+
+# ---- model geometry -------------------------------------------------------
+SWIN_S = ["--swin_img_size", "384", "--swin_patch_size", "4",
+          "--swin_embed_dim", "96", "--swin_depths", "2", "2", "6", "2",
+          "--swin_num_heads", "3", "6", "12", "24", "--swin_window_size", "12"]
+CAP_FULL = ["--model_dim", "512", "--N_enc", "3", "--N_dec", "3",
+            "--ff", "2048", "--num_heads", "8",
+            "--num_exp_enc_list", "32", "64", "128", "256", "512",
+            "--num_exp_dec", "16"]
+TINY_SWIN = ["--swin_img_size", "64", "--swin_patch_size", "4",
+             "--swin_embed_dim", "16", "--swin_depths", "1", "1",
+             "--swin_num_heads", "2", "4", "--swin_window_size", "4"]
+TINY_CAP = ["--model_dim", "32", "--N_enc", "1", "--N_dec", "1",
+            "--ff", "64", "--num_heads", "4", "--num_exp_enc_list", "4",
+            "--num_exp_dec", "4"]
+MAX_SEQ_LEN = "20"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/tmp/converge_data")
+    ap.add_argument("--saves", default="/tmp/converge_saves")
+    ap.add_argument("--train", type=int, default=600)
+    ap.add_argument("--val", type=int, default=100)
+    ap.add_argument("--test", type=int, default=100)
+    ap.add_argument("--xe_epochs", type=int, default=40)
+    ap.add_argument("--scst_epochs", type=int, default=6)
+    ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke of the driver logic (tiny model/data)")
+    ap.add_argument("--from_phase", type=int, default=0,
+                    help="0=data 1=floor 2=XE 3=SCST 4=evals — skip phases "
+                         "below N, reusing artifacts on disk")
+    a = ap.parse_args()
+
+    global FORCE_CPU
+    vocab_words, img_size = VOCAB_WORDS, 384
+    swin, cap = SWIN_S, CAP_FULL
+    if a.tiny:
+        FORCE_CPU = True
+        vocab_words, img_size = 120, 64
+        a.train, a.val, a.test = 16, 4, 4
+        a.xe_epochs, a.scst_epochs = 2, 1
+        swin, cap = TINY_SWIN, TINY_CAP
+    xe_bs, scst_bs = ("8", "4") if a.tiny else ("32", "16")
+    if a.fresh and os.path.isdir(a.saves):
+        shutil.rmtree(a.saves)
+    os.makedirs(a.saves, exist_ok=True)
+
+    ann = os.path.join(a.data, "dataset_coco.json")
+    vocab_path = os.path.join(a.data, "synthetic_vocab.json")
+    store = os.path.join(a.data, "preproc_images.hdf5")
+    if a.from_phase <= 0:
+        vocab_path = make_data(
+            a.data, a.train, a.val, a.test, img_size, vocab_words
+        )
+        # preprocess train+val images once (decode+resize into HDF5) so the
+        # 1-core host's JPEG decode doesn't bound every epoch (reference's
+        # preproc_images_hdf5_filepath path, data/coco_dataset.py:44-51)
+        if os.path.exists(store):
+            os.remove(store)
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from on_device_image_captioning_tpu.data.datasets import "
+            "load_coco_karpathy\n"
+            "from on_device_image_captioning_tpu.data.images_io import "
+            "build_store\n"
+            "from on_device_image_captioning_tpu.data.text import Vocab\n"
+            "ds = load_coco_karpathy(%r, %r, vocab=Vocab.from_json(%r))\n"
+            "recs = ds.records('train') + ds.records('val')\n"
+            "build_store(%r, recs, %d)\n"
+            "print('store done:', len(recs))\n"
+            % (REPO, ann, os.path.join(a.data, "MS_COCO_2014"), vocab_path,
+               store, img_size)
+        )
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-c", code], cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        print(f"--- p0_preproc_store: rc={proc.returncode} in "
+              f"{time.time() - t0:.1f}s ---\n{proc.stdout[-400:]}", flush=True)
+        if proc.returncode != 0:
+            raise SystemExit("preproc store failed")
+
+    common_data = ["--dataset", "coco", "--annotations", ann,
+                   "--vocab_path", vocab_path,
+                   "--images_path", os.path.join(a.data, "MS_COCO_2014")]
+    report = {}
+
+    # ---- random-weight floor checkpoint (quantifies "well above floor") ---
+    floor_dir = os.path.join(a.saves, "floor")
+    if a.from_phase <= 1:
+        os.makedirs(floor_dir, exist_ok=True)
+        code = (
+            "import sys, jax\n"
+            + ("jax.config.update('jax_platforms', 'cpu')\n")
+            + f"sys.path.insert(0, {REPO!r})\n"
+            + f"sys.argv = ['x'] + {json.dumps(common_data + swin + cap)}\n"
+            + "import argparse, dataclasses, jax.numpy as jnp\n"
+            + "from on_device_image_captioning_tpu.cli.train import "
+            "parse_args, build_model_cfg\n"
+            + "from on_device_image_captioning_tpu.data.datasets import "
+            "load_coco_karpathy\n"
+            + "from on_device_image_captioning_tpu.data.text import Vocab\n"
+            + "from on_device_image_captioning_tpu.models import end_to_end\n"
+            + "from on_device_image_captioning_tpu.utils.checkpointing "
+            "import save_checkpoint\n"
+            + f"args = parse_args({json.dumps(common_data + swin + cap)}"
+            " + ['--is_end_to_end', '--save_path', 'x', "
+            f"'--max_seq_len', '{MAX_SEQ_LEN}'])\n"
+            + "ds = load_coco_karpathy(args.annotations, args.images_path, "
+            "vocab=Vocab.from_json(args.vocab_path))\n"
+            + "cfg = build_model_cfg(args, ds.vocab, int(args.max_seq_len))\n"
+            + "params = end_to_end.init(jax.random.PRNGKey(0), cfg)\n"
+            + f"p = save_checkpoint({floor_dir!r}, params, "
+            "additional_info='floor')\n"
+            + "print('floor checkpoint:', p)\n"
+        )
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-c", code], cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        print(f"--- p1_floor_ckpt: rc={proc.returncode} in "
+              f"{time.time() - t0:.1f}s ---\n{proc.stdout[-400:]}", flush=True)
+        if proc.returncode != 0:
+            raise SystemExit("floor checkpoint failed")
+
+    # ---- phase 2: XE end-to-end from scratch -------------------------------
+    xe = os.path.join(a.saves, "xe")
+    if a.from_phase <= 2:
+        _, report["xe_s"] = run("p2_xe_e2e", [
+            f"{PKG}.cli.train", *common_data, *swin, *cap,
+            "--is_end_to_end", "--preproc_images_hdf5", store,
+            "--save_path", xe + "/", "--max_seq_len", MAX_SEQ_LEN,
+            "--seed", "775533", "--optim_type", "radam",
+            "--sched_type", "custom_warmup_anneal",
+            "--warmup_iters", "200", "--lr", "2e-4",
+            "--anneal_coeff", "0.8", "--anneal_every_epoch", "5",
+            "--enc_drop", "0.1", "--dec_drop", "0.1",
+            "--enc_input_drop", "0.1", "--dec_input_drop", "0.1",
+            "--drop_other", "0.1",
+            "--batch_size", xe_bs, "--num_accum", "1",
+            "--num_epochs", str(a.xe_epochs),
+            "--eval_every_iter", "500", "--eval_beam_sizes", "3",
+            "--eval_parallel_batch_size", "32",
+            "--save_every_minutes", "10", "--how_many_checkpoints", "2",
+            "--print_every_iter", "50",
+            *([] if a.tiny else ["--bf16", "--prefetch", "2"]),
+        ])
+
+    # ---- phase 3: SCST end-to-end (device CIDEr-D reward) ------------------
+    scst = os.path.join(a.saves, "scst")
+    if a.from_phase <= 3:
+        _, report["scst_s"] = run("p3_scst_e2e", [
+            f"{PKG}.cli.train", *common_data, *swin, *cap,
+            "--is_end_to_end", "--preproc_images_hdf5", store,
+            "--save_path", scst + "/", "--max_seq_len", MAX_SEQ_LEN,
+            "--backbone_save_path", latest(xe), "--body_save_path", latest(xe),
+            "--reinforce", "--device_reward", "--scst_max_len", MAX_SEQ_LEN,
+            "--seed", "775534", "--optim_type", "radam",
+            "--sched_type", "custom_warmup_anneal",
+            "--warmup_iters", "1", "--lr", "1e-5",
+            "--anneal_coeff", "0.8", "--anneal_every_epoch", "2",
+            "--enc_drop", "0.1", "--dec_drop", "0.1",
+            "--enc_input_drop", "0.1", "--dec_input_drop", "0.1",
+            "--drop_other", "0.1",
+            "--batch_size", scst_bs, "--num_accum", "1",
+            "--num_epochs", str(a.scst_epochs),
+            "--eval_every_iter", "150", "--eval_beam_sizes", "3",
+            "--eval_parallel_batch_size", "32",
+            "--save_every_minutes", "10", "--how_many_checkpoints", "2",
+            "--print_every_iter", "20",
+            *([] if a.tiny else ["--bf16", "--prefetch", "2", "--remat"]),
+        ])
+
+    # ---- phase 4: held-out evaluation sweep + drift report ------------------
+    eval_common = [
+        f"{PKG}.cli.evaluate", *common_data, *swin, *cap,
+        "--split", "test", "--beam_sizes", "3",
+        "--max_seq_len", MAX_SEQ_LEN, "--batch_size", "32",
+        "--metrics", "bleu", "meteor", "rouge", "cider", "spice",
+    ]
+    ckpt = latest(scst)
+    variants = {
+        "floor_bf16": [
+            "--load_path", latest(floor_dir),
+            *([] if a.tiny else ["--bf16"]),
+        ],
+        "fp32_xla": ["--load_path", ckpt, "--attention_impl", "xla",
+                     "--dyn_step_impl", "xla"],
+        "bf16_fused": ["--load_path", ckpt,
+                       *([] if a.tiny else ["--bf16"])],
+        "w8": ["--load_path", ckpt, "--quantize", "w8",
+               *([] if a.tiny else ["--bf16"])],
+        "w8a8": ["--load_path", ckpt, "--quantize", "w8a8",
+                 *([] if a.tiny else ["--bf16"])],
+    }
+    results, preds = {}, {}
+    for name, extra in variants.items():
+        dump = os.path.join(a.saves, f"preds_{name}.json")
+        log, dt = run(f"p4_eval_{name}",
+                      eval_common + extra + ["--dump_predictions", dump])
+        results[name] = parse_scores(log)
+        report[f"eval_{name}_s"] = dt
+        with open(dump) as f:
+            preds[name] = json.load(f)["3"]
+
+    # drift vs the fp32-XLA decode (VERDICT r3 item 2)
+    base = preds["fp32_xla"]
+    drift = {}
+    for name in ("bf16_fused", "w8", "w8a8"):
+        same = sum(1 for k, v in base.items() if preds[name].get(k) == v)
+        drift[name] = {"identical_pct": round(100.0 * same / len(base), 1)}
+
+    print("\n=== convergence report (synthetic corpus, held-out test) ===")
+    keys = ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE")
+    hdr = "variant".ljust(12) + "".join(k.rjust(9) for k in keys)
+    print(hdr)
+    for name, sc in results.items():
+        print(name.ljust(12)
+              + "".join(f"{sc.get(k, float('nan')):9.3f}" for k in keys))
+    print("\ncaption drift vs fp32_xla (% token-identical):")
+    for name, d in drift.items():
+        print(f"  {name}: {d['identical_pct']}%")
+    print("\nwall-clock per phase (s):")
+    for k, v in report.items():
+        print(f"  {k:22s} {v:8.1f}")
+    out = {"results": results, "drift": drift, "report": report,
+           "config": {"train": a.train, "val": a.val, "test": a.test,
+                      "xe_epochs": a.xe_epochs, "scst_epochs": a.scst_epochs}}
+    path = os.path.join(a.saves, "convergence_report.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nreport JSON: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,9 +23,12 @@ def test_resolve_explicit_choices_pass_through():
     assert att == "fused" and dyn == "xla"
 
 
-def test_compile_cache_respects_already_set_config():
+def test_compile_cache_respects_already_set_config(monkeypatch):
     # conftest already pointed jax at <repo>/.jax_cache; the helper must not
-    # clobber an explicit setting and reports the directory in use
+    # clobber an explicit setting and reports the directory in use.
+    # (hermetic vs the caller's shell: the helper checks the env var first,
+    # so an exported JAX_COMPILATION_CACHE_DIR would shadow the config path)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     before = jax.config.jax_compilation_cache_dir
     assert before  # set by conftest
     assert enable_persistent_compilation_cache() == before

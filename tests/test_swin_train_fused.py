@@ -417,3 +417,52 @@ def test_fused_train_window_resident_equals_per_block(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(b), np.asarray(a), err_msg=str(path)
         )
+
+
+def test_fused_train_rejects_strip_granular_scales():
+    """The drop-path contract is enforced by the API: the train kernels take
+    per-IMAGE (B,) stochastic-depth scales and expand to their own strip
+    sizes internally; the former per-forward-strip arrays (which the
+    backward could only re-tile correctly under an unchecked
+    constant-per-image assumption) now raise instead of silently producing
+    wrong gradients."""
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+    p, x = _block_inputs(0)
+    res = TINY.stage_resolution(0)[0]
+    w = TINY.window_size
+    n = w * w
+    num_windows = (res // w) ** 2
+    b = 2
+    xw = x.reshape(b, res, res, -1)
+    xw = swin._window_partition(xw, w)
+    heads = TINY.num_heads[0]
+    bias = jnp.zeros((heads, n, n), jnp.float32)
+    pd = {
+        "norm1": p["norm1"],
+        "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]},
+        "norm2": p["norm2"],
+        "mlp": p["mlp"],
+    }
+    ok = jnp.ones((b,), jnp.float32)
+    y = sbf.swin_block_fused_train(
+        xw, pd, bias, None, ok, ok, heads, num_windows, 0.25, 1e-5
+    )
+    assert y.shape == xw.shape
+
+    strips = xw.shape[0] // sbf.train_fwd_wpb(num_windows, n, xw.shape[-1],
+                                              xw.shape[0])
+    per_strip = jnp.ones((strips, 1), jnp.float32)
+    if strips == b:  # make sure the shapes genuinely differ
+        per_strip = jnp.ones((strips * 2, 1), jnp.float32)
+    with pytest.raises(ValueError, match="per-image"):
+        sbf.swin_block_fused_train(
+            xw, pd, bias, None, per_strip, per_strip, heads, num_windows,
+            0.25, 1e-5,
+        )
+    p_attn = {"norm1": p["norm1"],
+              "attn": {"qkv": p["attn"]["qkv"], "proj": p["attn"]["proj"]}}
+    with pytest.raises(ValueError, match="per-image"):
+        sbf.swin_attn_half_fused_train(
+            xw, p_attn, bias, None, per_strip, heads, num_windows, 0.25, 1e-5
+        )
