@@ -169,7 +169,157 @@ def main():
         line["p50_latency_per_caption_s"] = round(p50, 4)
         line["p50_config"] = "1 image, beam 5, max_seq_len 74, full decode"
         line["p50_vs_baseline_x"] = round(1.753 / p50, 2)
+
+    # ---- full scoreboard (VERDICT r3 item 3): the driver-captured artifact
+    # also carries the EVAL workload (cli/evaluate.py operating point: b32,
+    # beam 3, L=74 chunked decode, random weights = every beam runs the full
+    # 72-step budget — the worst case; trained checkpoints EOS by ~18 and run
+    # ~5x faster) and BOTH training workloads (reference train.py:47-302),
+    # instead of only the L20 serving point + p50.
+    if os.environ.get("BENCH_SCOREBOARD", "1") != "0":
+        line.update(_scoreboard(cfg, params, images, iters))
     print(json.dumps(line))
+
+
+def _scoreboard(cfg, params, images, iters):
+    """eval / XE-train / SCST-train img/s rows. Graph construction mirrors
+    scripts/bench_decode_eval.py, bench_train.py, bench_scst.py (same shapes
+    and hyperparameters, so the persistent compile cache is shared)."""
+    import dataclasses
+
+    from on_device_image_captioning_tpu.config import DecodeConfig
+    from on_device_image_captioning_tpu.decode import beam_search as bs
+    from on_device_image_captioning_tpu.decode import sampling
+    from on_device_image_captioning_tpu.deploy.quantization import (
+        dequantize_tree,
+    )
+    from on_device_image_captioning_tpu.models import end_to_end
+    from on_device_image_captioning_tpu.utils.image import normalize_on_device
+
+    out = {}
+    rng = jax.random.PRNGKey(1)
+
+    # eval workload: e2e decode at b32/beam3/L74, default chunked schedule
+    eb = 32
+    dcfg_eval = DecodeConfig(beam_size=3, how_many_outputs=1, max_seq_len=74)
+
+    @jax.jit
+    def eval_caption(params, images_u8, rng):
+        x = normalize_on_device(images_u8)
+        enc = end_to_end.forward_enc(params, cfg, x)
+        res = bs.beam_search(
+            dequantize_tree(params["captioner"]), cfg.captioner, enc,
+            dcfg_eval, rng=rng, dtype=cfg.compute_dtype,
+        )
+        return res.tokens, res.lengths
+
+    imgs_e = images[:eb] if images.shape[0] >= eb else jnp.tile(
+        images, (eb // images.shape[0] + 1, 1, 1, 1)
+    )[:eb]
+    toks, _ = eval_caption(params, imgs_e, rng)
+    jax.device_get(toks)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        toks, _ = eval_caption(params, imgs_e, rng)
+    jax.device_get(toks)
+    dt = (time.perf_counter() - t0) / iters
+    out["eval_img_s_b32_beam3_L74_full_budget"] = round(eb / dt, 1)
+
+    # XE train step (fwd+bwd+RAdam), b32, fused kernels + remat, bf16 —
+    # mirrors scripts/bench_train.py
+    from on_device_image_captioning_tpu.train.radam import radam
+    from on_device_image_captioning_tpu.train.train_step import (
+        init_train_state, make_xe_step,
+    )
+
+    tb = 32
+    tcfg = dataclasses.replace(
+        cfg,
+        swin=dataclasses.replace(
+            cfg.swin, attention_impl="fused", drop_path_rate=0.1
+        ),
+    )
+    tparams = end_to_end.init(jax.random.PRNGKey(0), tcfg)
+    opt = radam(2e-5)
+    state = init_train_state(tparams, opt)
+    step = jax.jit(make_xe_step(tcfg, opt, end_to_end_model=True, remat=True))
+    nprng = np.random.default_rng(0)
+    batch_data = {
+        "enc_input": jnp.asarray(
+            nprng.standard_normal((tb, 384, 384, 3), dtype=np.float32)
+        ),
+        "captions": jnp.asarray(
+            nprng.integers(0, tcfg.captioner.vocab_size, (tb, 28)), jnp.int32
+        ),
+    }
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch_data, key)
+    jax.device_get(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data, key)
+    jax.device_get(metrics["loss"])
+    out["xe_train_img_s_b32"] = round(tb / ((time.perf_counter() - t0) / iters), 1)
+
+    # SCST train step: fused shared-forward (one jit: one encoder fwd via
+    # vjp + sampling + device CIDEr-D + REINFORCE grad + RAdam), b16 x5
+    # samples, L=20 — mirrors scripts/bench_scst.py's winning organization
+    from on_device_image_captioning_tpu.data.text import (
+        EOS_TOKEN, PAD_TOKEN, SOS_TOKEN, UNK_TOKEN, Vocab,
+    )
+    from on_device_image_captioning_tpu.train.device_cider import (
+        DeviceCiderCorpus,
+    )
+    from on_device_image_captioning_tpu.train.train_step import (
+        make_scst_fused_step,
+    )
+
+    sb, num_samples, scst_max_len = 16, 5, 20
+    words = [PAD_TOKEN, SOS_TOKEN, EOS_TOKEN, UNK_TOKEN] + [
+        f"w{i}" for i in range(tcfg.captioner.vocab_size - 4)
+    ]
+    vocab = Vocab({w: i for i, w in enumerate(words)})
+    srng = np.random.default_rng(0)
+    refs = [
+        [
+            " ".join(srng.choice(words[4:1000], size=srng.integers(8, 14)))
+            for _ in range(5)
+        ]
+        for _ in range(5000)
+    ]
+    dcorpus = DeviceCiderCorpus(refs, vocab)
+    # exactly scripts/bench_scst.py's cfg (no drop-path override), so the
+    # compiled executable is shared with it via the persistent cache
+    scfg = dataclasses.replace(
+        cfg, swin=dataclasses.replace(cfg.swin, attention_impl="fused")
+    )
+    sparams = end_to_end.init(jax.random.PRNGKey(0), scfg)
+    sopt = radam(1e-5)
+    sstate = init_train_state(sparams, sopt)
+    shared = jax.jit(
+        make_scst_fused_step(
+            scfg, sopt, end_to_end_model=True, num_samples=num_samples,
+            scst_max_len=scst_max_len, sos_idx=vocab.sos_idx,
+            eos_idx=vocab.eos_idx, reward_fn=dcorpus.make_reward_fn(),
+        )
+    )
+    simages = jnp.asarray(
+        srng.standard_normal((sb, 384, 384, 3), dtype=np.float32)
+    )
+    img_idxs = srng.integers(0, 5000, sb)
+    bt = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idxs).items()}
+    sstate, metrics = shared(sstate, {"enc_input": simages}, bt, key)
+    jax.device_get(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        bt = {k: jnp.asarray(v) for k, v in dcorpus.batch(img_idxs).items()}
+        sstate, metrics = shared(sstate, {"enc_input": simages}, bt, sub)
+    jax.device_get(metrics["loss"])
+    out["scst_train_img_s_b16x5"] = round(
+        sb / ((time.perf_counter() - t0) / iters), 1
+    )
+    return out
 
 
 if __name__ == "__main__":

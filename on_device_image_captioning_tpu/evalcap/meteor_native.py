@@ -200,6 +200,366 @@ SYNONYM_GROUPS = tuple(
         "full filled crowded packed",
         "many numerous several various",
         "colorful vibrant vivid",
+        # ---- round-4 growth (VERDICT r3 item 9): ~2x coverage of the
+        # COCO/VizWiz caption vocabulary. Groups mirror WordNet synsets,
+        # including its polysemy (e.g. 'boot' trunk-of-car vs footwear) —
+        # the jar would match those pairs too.
+        # kitchen / food
+        "pizza pie",
+        "burger hamburger",
+        "biscuit cookie",
+        "candy sweets confection",
+        "jelly jam preserve",
+        "beverage drink",
+        "shrimp prawn",
+        "corn maize",
+        "zucchini courgette",
+        "eggplant aubergine",
+        "cilantro coriander",
+        "bun roll",
+        "bowl basin",
+        "saucepan pot",
+        "stove range cooktop",
+        "cooker stove",
+        "faucet tap spigot",
+        "counter countertop",
+        "cupboard cabinet",
+        "kettle teakettle",
+        "pitcher jug ewer",
+        "napkin serviette",
+        "silverware cutlery flatware",
+        "utensil implement tool",
+        "glass tumbler",
+        "bottle flask",
+        "tray platter salver",
+        "apron smock",
+        "grill barbecue griddle",
+        "blender mixer",
+        "crisp crunchy",
+        "delicious tasty yummy appetizing",
+        "ripe mature",
+        "raw uncooked",
+        "frozen icy",
+        "sweet sugary",
+        "sour tart",
+        "spicy zesty",
+        # household / buildings
+        "tub bathtub",
+        "bed cot",
+        "blanket quilt comforter duvet",
+        "pillow cushion",
+        "wardrobe closet armoire",
+        "dresser bureau",
+        "stairs staircase stairway steps",
+        "floor flooring ground",
+        "door doorway entrance entry",
+        "roof rooftop",
+        "chimney smokestack",
+        "fence fencing barrier railing",
+        "gate gateway",
+        "porch veranda patio deck",
+        "garage carport",
+        "shed hut shack cabin",
+        "building structure edifice",
+        "tower spire",
+        "bridge overpass viaduct",
+        "tunnel underpass",
+        "church chapel cathedral",
+        "castle fortress fort",
+        "city town metropolis",
+        "village hamlet",
+        "harbor port marina",
+        "pier wharf jetty dock",
+        "statue sculpture monument",
+        "clock timepiece",
+        "watch wristwatch timepiece",
+        "bell chime",
+        "flag banner pennant",
+        "umbrella parasol brolly",
+        "cane stick staff",
+        "luggage baggage",
+        "suitcase valise",
+        "backpack rucksack knapsack pack",
+        "wallet billfold",
+        "ladder stepladder",
+        "rope cord line twine",
+        "wire cable cord",
+        "box carton crate",
+        "basket hamper",
+        "bucket pail",
+        "barrel cask keg drum",
+        "can tin",
+        "book volume tome",
+        "magazine periodical journal",
+        "newspaper paper gazette",
+        "letter note missive",
+        "map chart",
+        "painting canvas artwork",
+        "drawing sketch illustration",
+        "toy plaything",
+        "doll figurine figure",
+        "candle taper",
+        "vase urn",
+        "planter flowerpot pot",
+        "bouquet posy",
+        "wreath garland",
+        "gift present",
+        "ribbon band",
+        "zipper zip fastener",
+        "belt strap",
+        "glove mitten mitt",
+        "sock stocking",
+        "helmet headgear",
+        "crown tiara",
+        "uniform outfit attire costume garb",
+        "dress gown frock",
+        "tuxedo tux",
+        "tie necktie cravat",
+        "sweater jumper pullover",
+        "hoodie sweatshirt",
+        "vest waistcoat",
+        "shorts trunks",
+        "pajamas pyjamas nightwear",
+        "robe bathrobe",
+        "cloak cape",
+        # animals
+        "elephant pachyderm",
+        "bear bruin",
+        "monkey ape primate",
+        "deer doe buck stag",
+        "turtle tortoise terrapin",
+        "snake serpent",
+        "rooster cock cockerel",
+        "seagull gull",
+        "pigeon dove",
+        "insect bug",
+        "donkey burro",
+        "foal colt",
+        "herd flock drove",
+        "gallop trot canter",
+        "graze browse",
+        "perch roost",
+        "flap flutter",
+        "crawl creep slither",
+        "growl snarl",
+        "roar bellow",
+        "bite chew gnaw nibble munch",
+        "lick lap",
+        "sniff smell scent",
+        "feed nourish",
+        # nature / weather
+        "sun sunshine sunlight",
+        "storm tempest",
+        "fog mist haze",
+        "wind breeze gust",
+        "wave breaker swell",
+        "ice frost",
+        "mud muck mire",
+        "dirt soil earth",
+        "path trail track footpath",
+        "lake pond lagoon",
+        "puddle pool",
+        "waterfall falls cascade",
+        "cliff bluff precipice crag",
+        "canyon ravine gorge",
+        "valley vale",
+        "island isle islet",
+        "cave cavern grotto",
+        "bush shrub hedge",
+        "branch bough limb",
+        "leaf foliage",
+        "log timber lumber",
+        "stick twig",
+        "flower blossom bloom",
+        "vine creeper",
+        "sunset dusk twilight sundown",
+        "sunrise dawn daybreak sunup",
+        "night nighttime",
+        "noon midday",
+        "shadow shade",
+        "glow gleam shine",
+        "smoke fumes",
+        "fire flame blaze",
+        "steam vapor vapour",
+        "sunny cloudless clear",
+        "cloudy overcast",
+        "rainy stormy showery",
+        "snowy wintry",
+        "foggy misty hazy",
+        "windy breezy gusty blustery",
+        # people / roles
+        "chef cook",
+        "doctor physician medic",
+        "cop policeman officer constable",
+        "firefighter fireman",
+        "soldier trooper serviceman",
+        "worker laborer workman employee",
+        "farmer rancher",
+        "fisherman angler",
+        "teacher instructor tutor",
+        "student pupil learner",
+        "cyclist biker bicyclist",
+        "driver motorist chauffeur",
+        "pilot aviator flyer",
+        "sailor seaman mariner",
+        "clown jester",
+        "singer vocalist",
+        "musician performer",
+        "audience spectators onlookers crowd",
+        "couple pair duo",
+        "family household",
+        "friend pal buddy companion",
+        "toddler tot",
+        "teenager teen adolescent youth",
+        "adult grownup",
+        "face visage countenance",
+        "hair locks",
+        "beard whiskers stubble",
+        # verbs
+        "carry tote lug",
+        "climb ascend scale clamber",
+        "recline lounge lie",
+        "crouch squat stoop",
+        "wave gesture",
+        "point indicate gesture",
+        "reach stretch extend",
+        "wash clean rinse scrub",
+        "wipe mop swab",
+        "fill load",
+        "empty drain",
+        "build construct erect assemble",
+        "fix repair mend",
+        "break shatter smash crack",
+        "bend flex curve",
+        "swing sway rock",
+        "slide glide slip skid",
+        "float drift hover",
+        "dive plunge submerge",
+        "swim paddle",
+        "steer navigate pilot guide",
+        "rush hurry hasten race",
+        "chase pursue follow",
+        "hide conceal",
+        "show display exhibit present",
+        "sell vend peddle",
+        "buy purchase",
+        "wait await linger",
+        "rest relax repose",
+        "work labor toil",
+        "help assist aid",
+        "teach instruct train",
+        "learn study",
+        "read peruse",
+        "write scribble jot",
+        "sing chant croon",
+        "shout yell scream holler cry",
+        "whisper murmur mutter",
+        "observe view witness",
+        "touch feel",
+        "kick boot punt",
+        "hit strike whack",
+        "win triumph prevail",
+        # adjectives
+        "wide broad",
+        "narrow slim",
+        "thin slender skinny slim lean",
+        "tall lofty high",
+        "short stubby",
+        "heavy hefty weighty",
+        "round circular spherical",
+        "rectangular oblong",
+        "flat level even",
+        "steep sheer",
+        "rough coarse rugged",
+        "smooth sleek slick",
+        "fluffy furry fuzzy",
+        "hard firm solid stiff",
+        "sharp pointed keen",
+        "dull blunt",
+        "shiny glossy polished gleaming sparkly",
+        "wooden wood",
+        "metal metallic",
+        "striped streaked banded",
+        "spotted dotted speckled dappled",
+        "checkered plaid checked",
+        "floral flowered flowery",
+        "fancy ornate elaborate decorative",
+        "plain simple unadorned",
+        "modern contemporary",
+        "vintage antique retro classic",
+        "rustic rural country",
+        "urban metropolitan",
+        "crowded busy congested packed",
+        "quiet calm peaceful tranquil serene still",
+        "noisy loud",
+        "messy cluttered untidy disorganized",
+        "orderly organized",
+        "broken damaged shattered busted",
+        "rusty corroded rusted",
+        "worn tattered ragged shabby",
+        "soaked drenched sodden",
+        "tired weary exhausted sleepy",
+        "angry mad furious irate",
+        "scared afraid frightened terrified",
+        "surprised astonished amazed startled",
+        "excited thrilled eager",
+        "curious inquisitive",
+        "serious solemn stern grave",
+        "funny humorous comical amusing hilarious",
+        "strange odd weird unusual peculiar",
+        "ordinary common typical usual normal",
+        "famous renowned celebrated",
+        "expensive costly pricey",
+        "cheap inexpensive affordable",
+        "safe secure",
+        "dangerous hazardous risky perilous unsafe",
+        "strong sturdy powerful mighty robust",
+        "weak frail feeble fragile flimsy",
+        "distant faraway remote far",
+        "nearby adjacent neighboring close",
+        "middle center central",
+        "outer exterior outside external",
+        "inner interior inside internal",
+        "upper top topmost",
+        "lower bottom",
+        "rear hind back",
+        # vehicles / equipment / electronics
+        "racket racquet",
+        "net netting mesh",
+        "field pitch",
+        "stadium arena",
+        "slope incline",
+        "track course circuit",
+        "gym gymnasium",
+        "paddle oar",
+        "engine motor",
+        "tire tyre",
+        "bumper fender",
+        "windshield windscreen",
+        "trunk boot",
+        "elevator lift",
+        "subway metro underground tube",
+        "tram streetcar trolley",
+        "van minivan",
+        "scooter moped",
+        "helicopter chopper copter",
+        "rocket missile",
+        "trailer caravan",
+        "ferry ferryboat",
+        "dinghy rowboat skiff",
+        "computer pc desktop",
+        "keyboard keypad",
+        "remote controller",
+        "speaker loudspeaker",
+        "headphones earphones headset earbuds",
+        "microphone mic mike",
+        "outlet socket receptacle",
+        "bulb lightbulb",
+        "lantern lamp",
+        "flashlight torch",
+        "heater radiator",
+        "dryer drier",
+        "vacuum hoover",
     )
 )
 
@@ -262,6 +622,69 @@ PARAPHRASE_GROUPS = tuple(
         "stands on|is standing on",
         "walks down|is walking down|walking along",
         "in the air|airborne|aloft",
+        # ---- round-4 growth (VERDICT r3 item 9)
+        "swimming pool|pool",
+        "washing machine|washer",
+        "police officer|policeman|cop",
+        "fire truck|fire engine",
+        "ice cream|icecream|gelato",
+        "french fries|fries|chips",
+        "hot air balloon|balloon",
+        "stop sign|stopsign",
+        "street light|streetlight|street lamp|lamppost",
+        "palm tree|palm",
+        "christmas tree|xmas tree",
+        "park bench|bench",
+        "flower pot|flowerpot|planter",
+        "trash can|garbage can|trash bin|rubbish bin|wastebasket",
+        "license plate|number plate",
+        "train tracks|railroad tracks|railway tracks|rails|tracks",
+        "train car|railcar|carriage",
+        "cutting board|chopping board",
+        "frying pan|skillet|fry pan",
+        "toilet paper|toilet roll",
+        "remote control|remote|controller",
+        "video game|videogame",
+        "laptop computer|laptop|notebook",
+        "computer monitor|monitor|screen",
+        "baseball player|batter|ballplayer",
+        "tennis court|court",
+        "baseball field|ball field|diamond",
+        "soccer ball|football",
+        "soccer field|football field|pitch",
+        "ski slope|slope|ski run",
+        "ski lift|chairlift|lift",
+        "snow covered|snowy",
+        "a number of|numerous|many",
+        "in the background|in the distance",
+        "on the side of|beside|next to",
+        "at the top of|atop|on top of",
+        "at the bottom of|below|beneath|under",
+        "to the left of|left of",
+        "to the right of|right of",
+        "middle of|center of|centre of",
+        "a slice of|a piece of|a wedge of",
+        "a plate of|a dish of",
+        "a herd of|a flock of|a group of",
+        "a piece of|a bit of|a chunk of",
+        "a pile of|a stack of|a heap of|a mound of",
+        "a row of|a line of|a string of",
+        "a variety of|various|an assortment of|assorted",
+        "is wearing|wears|dressed in|clad in",
+        "is eating|eats|dining on",
+        "is riding|rides",
+        "is playing|plays",
+        "looks at|is looking at|gazes at|stares at",
+        "stands next to|is standing next to|stands beside",
+        "sitting on top of|sitting atop|seated atop",
+        "during the day|in the daytime",
+        "at night|at nighttime|in the dark",
+        "wine bottle|bottle of wine",
+        "coffee cup|cup of coffee|mug",
+        "tea kettle|kettle|teapot",
+        "bath tub|bathtub|tub",
+        "hand rail|handrail|railing",
+        "street corner|corner",
     )
 )
 
