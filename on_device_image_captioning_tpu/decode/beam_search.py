@@ -271,7 +271,7 @@ def beam_loop(
     state = _gather_rows(state, beam_idx)
 
     if double_buffer is None:
-        double_buffer = dc._DYN_STEP_IMPL == "pallas"
+        double_buffer = dc._DYN_STEP_IMPL != "xla"
     spare = jax.tree.map(jnp.zeros_like, state) if double_buffer else ()
 
     class Carry(NamedTuple):

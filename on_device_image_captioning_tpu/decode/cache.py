@@ -121,13 +121,18 @@ _DYN_STEP_IMPL = "xla"
 
 def set_dyn_step_impl(impl: str) -> None:
     """One knob for the Pallas decode path: the fused dyn-expansion step AND
-    the vocab-wide candidate top-k (ops/topk.py) follow it together."""
+    the vocab-wide candidate top-k (ops/topk.py) follow it together.
+
+    'pallas' = the production kernel: dyn step + LN2 + cross-attention fused
+    into ONE call per layer per token (ops/dyn_exp_step.dyn_exp_cross_step_
+    pallas). 'pallas_unfused' keeps the round-3 form (dyn-step kernel + XLA
+    cross-attention) — benchmarking/bisection only, not CLI-exposed."""
     global _DYN_STEP_IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("xla", "pallas", "pallas_unfused"), impl
     _DYN_STEP_IMPL = impl
     from ..ops.topk import set_topk_impl
 
-    set_topk_impl(impl)
+    set_topk_impl("xla" if impl == "xla" else "pallas")
 
 
 def init_state(
@@ -201,7 +206,7 @@ def _dyn_exp_step(
     q_i = p["query_exp"]["embed"][None] + cond[:, None]  # (B, E, d)
     bias_i = p["bias_exp"]["embed"][None] + cond[:, None]
 
-    if _DYN_STEP_IMPL == "pallas":
+    if _DYN_STEP_IMPL != "xla":
         from ..ops.dyn_exp_step import dyn_exp_step_pallas
 
         sel = jax.nn.sigmoid(
@@ -272,6 +277,66 @@ def _dyn_exp_step(
         keys=keys, ca=ca, cb=cb, cond=cond_c, vals_a=vals_a, vals_b=vals_b
     )
     return out, new_cache
+
+
+def _dyn_cross_fused_step(
+    lp: Dict[str, Any],
+    cfg: CaptionerConfig,
+    cache: LayerCache,
+    y: jnp.ndarray,
+    pos: jnp.ndarray,
+    dtype=None,
+    reorder: Optional[jnp.ndarray] = None,
+    dst: Optional[MutCaches] = None,
+    in_place: bool = False,
+    enc_mask: Optional[jnp.ndarray] = None,
+    group: int = 1,
+):
+    """One decoder layer's dyn-expansion + LN2 + cross-attention as a SINGLE
+    Pallas call (the 'pallas' impl): LN1 and the five d x d projections stay
+    in XLA (one batched MXU GEMM each across all rows), the kernel runs the
+    dyn step, both residual adds, LN2 and the single-query cross-attention
+    with its Wq/out_linear GEMMs in VMEM — halving the while-body's per-layer
+    dispatch count vs the round-3 dyn-kernel + XLA-cross form (VERDICT r3
+    item 7). Returns (y after the cross-attention residual, updated cache).
+    """
+    from ..ops.dyn_exp_step import dyn_exp_cross_step_pallas
+
+    p = lp["dyn_exp"]
+    x2 = layernorm(lp["norm_1"], y, cfg.ln_eps)
+    cond = linear(p["cond_embed"], x2, dtype)
+    k_i = linear(p["key_linear"], x2, dtype)
+    ca_i = linear(p["class_a_embed"], x2, dtype)
+    cb_i = linear(p["class_b_embed"], x2, dtype)
+    q_i = p["query_exp"]["embed"][None] + cond[:, None]
+    bias_i = p["bias_exp"]["embed"][None] + cond[:, None]
+    sel = jax.nn.sigmoid(
+        linear(p["selector_embed"], x2, dtype).astype(jnp.float32)
+    )
+    b = y.shape[0]
+    s = cache.k_cross.shape[1]
+    mask_f = (
+        enc_mask.astype(jnp.float32)
+        if enc_mask is not None
+        else jnp.ones((b // group, s), jnp.float32)
+    )
+    mha = lp["mha"]
+    y_out, keys, ca, cb, cond_c, vals_a, vals_b = dyn_exp_cross_step_pallas(
+        pos, q_i, bias_i, k_i, ca_i, cb_i, cond, sel,
+        p["query_exp"]["embed"], y, lp["norm_2"],
+        mha["Wq"]["w"], mha["Wq"]["b"],
+        mha["out_linear"]["w"], mha["out_linear"]["b"],
+        cache.k_cross, cache.v_cross, mask_f,
+        cache.keys, cache.ca, cache.cb, cache.cond, cache.vals_a,
+        cache.vals_b,
+        heads=cfg.num_heads, ln_eps=cfg.ln_eps, attn_fill=cfg.attn_fill,
+        group=group, eps=cfg.eps, reorder=reorder,
+        dst=None if dst is None else tuple(dst), in_place=in_place,
+        compute_dtype=dtype,
+    )
+    return y_out, cache._replace(
+        keys=keys, ca=ca, cb=cb, cond=cond_c, vals_a=vals_a, vals_b=vals_b
+    )
 
 
 def _cross_attention_step(
@@ -348,7 +413,7 @@ def dec_step(
     in_place: donate the cache inputs themselves (valid only without
     reorder — sampling-style loops; ignored by the XLA path).
     """
-    if reorder is not None and _DYN_STEP_IMPL != "pallas":
+    if reorder is not None and _DYN_STEP_IMPL == "xla":
         take = lambda a: jnp.take(a, reorder, axis=0)
         state = DecState(
             layers=[
@@ -374,17 +439,27 @@ def dec_step(
     for i in range(cfg.N_dec):
         lp = params["decoders"][i]
         cache = state.layers[i]
-        x2 = layernorm(lp["norm_1"], y, cfg.ln_eps)
-        dyn, cache = _dyn_exp_step(
-            lp["dyn_exp"], cfg, cache, x2, pos, dtype, reorder,
-            dst=None if prev is None else prev[i],
-            in_place=in_place,
-        )
-        y = y + dyn
-        x2 = layernorm(lp["norm_2"], y, cfg.ln_eps)
-        y = y + _cross_attention_step(
-            lp["mha"], cfg, cache, x2, state.enc_mask, dtype, group
-        )
+        if _DYN_STEP_IMPL == "pallas" and "w" in lp["mha"]["Wq"]:
+            # production path: dyn + LN2 + cross-attention in ONE kernel
+            # (quantized Wq/out_linear nodes fall back to the unfused form —
+            # dequantize_tree normally expands them before decode)
+            y, cache = _dyn_cross_fused_step(
+                lp, cfg, cache, y, pos, dtype, reorder,
+                dst=None if prev is None else prev[i], in_place=in_place,
+                enc_mask=state.enc_mask, group=group,
+            )
+        else:
+            x2 = layernorm(lp["norm_1"], y, cfg.ln_eps)
+            dyn, cache = _dyn_exp_step(
+                lp["dyn_exp"], cfg, cache, x2, pos, dtype, reorder,
+                dst=None if prev is None else prev[i],
+                in_place=in_place,
+            )
+            y = y + dyn
+            x2 = layernorm(lp["norm_2"], y, cfg.ln_eps)
+            y = y + _cross_attention_step(
+                lp["mha"], cfg, cache, x2, state.enc_mask, dtype, group
+            )
         x2 = layernorm(lp["norm_3"], y, cfg.ln_eps)
         h = jax.nn.relu(linear(lp["ff"]["linear_1"], x2, dtype))
         y = y + linear(lp["ff"]["linear_2"], h, dtype)

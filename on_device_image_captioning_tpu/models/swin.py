@@ -705,15 +705,29 @@ def _swin_block_fused_path(
     return out
 
 
-def _stage_fused_mode(stage, cfg: SwinConfig, c: int, dtype):
+# Per-stage override of the fused inference mode, keyed by stage index —
+# experiment knob (VERDICT r3 item 4): force a stage onto 'hybrid' (XLA
+# qkv/proj/mlp GEMMs + the weights-free attention-core kernel) or 'halves'
+# instead of what eligibility picks. Not CLI-exposed; set from bench scripts.
+_STAGE_MODE_OVERRIDE: dict = {}
+
+
+def set_stage_mode_override(overrides: Optional[dict]) -> None:
+    global _STAGE_MODE_OVERRIDE
+    _STAGE_MODE_OVERRIDE = dict(overrides or {})
+
+
+def _stage_fused_mode(stage, cfg: SwinConfig, c: int, dtype, idx=None):
     """Whether ALL of a stage's blocks take the same fused inference path:
-    returns 'full' | 'halves' | None. Uniformity lets the stage run
-    window-resident (see _run_stage_fused_windows)."""
+    returns 'full' | 'halves' | 'hybrid' | None. Uniformity lets the stage
+    run window-resident (see _run_stage_fused_windows)."""
     from ..ops import swin_block_fused as sbf
 
     a8 = ["a8" in b["mlp"]["fc1"] for b in stage["blocks"]]
     if any(a8) != all(a8):
         return None
+    if idx is not None and idx in _STAGE_MODE_OVERRIDE and not any(a8):
+        return _STAGE_MODE_OVERRIDE[idx]
     if not any(a8) and sbf.eligible(c, cfg.mlp_ratio, dtype):
         return "full"
     if sbf.eligible_halves(c, cfg.mlp_ratio, dtype):
@@ -772,6 +786,34 @@ def _run_stage_fused_windows(
             .reshape(n, n, heads)
             .transpose(2, 0, 1)
         )
+        if mode == "hybrid":
+            # VERDICT r3 item 4 experiment: keep the window-resident layout
+            # but run qkv/proj/mlp as XLA GEMMs (measured 67%-of-peak on
+            # stage-2 shapes) and only the score/softmax/value chain in the
+            # weights-free attention-core kernel. Costs the qkv (3c) and
+            # attention-out HBM round trips the full-block kernel avoids;
+            # transitions revert to the standalone permutation kernel.
+            from ..ops.swin_block_fused import attention_core_fused
+
+            if trans is not None:
+                xw = _apply_transition_kernel(
+                    xw, res, window, trans[0], trans[1]
+                )
+            cd = xw.dtype
+            xn = layernorm(bp["norm1"], xw, cfg.ln_eps)
+            qkv = linear(bp["attn"]["qkv"], xn, cd)
+            core = attention_core_fused(
+                qkv, bias, mask, heads, num_windows, scale
+            )
+            xb = xw + linear(bp["attn"]["proj"], core, cd).astype(jnp.float32)
+            xb = xb.astype(cd)
+            h = layernorm(bp["norm2"], xb, cfg.ln_eps)
+            h = linear(bp["mlp"]["fc1"], h, cd)
+            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(
+                h.dtype
+            )
+            h = linear(bp["mlp"]["fc2"], h, cd)
+            return (xb.astype(jnp.float32) + h.astype(jnp.float32)).astype(cd)
         tkw = {}
         if trans is not None:
             dr, dc, P4 = transition_pieces(res, window, trans[0], trans[1])
@@ -883,7 +925,7 @@ def _boundary_fused_plan(params, cfg: SwinConfig, images, train, dtype):
         if res % window:
             return None
         W = res // window
-        mode = _stage_fused_mode(stage, cfg, cfg.stage_dim(i), eff_dtype)
+        mode = _stage_fused_mode(stage, cfg, cfg.stage_dim(i), eff_dtype, idx=i)
         if W > 1 and mode is None:
             return None
         if "downsample" in stage:
@@ -1317,7 +1359,8 @@ def _run_stage(
     depth = len(stage["blocks"])
     if not train and cfg.attention_impl == "fused" and depth > 0:
         mode = _stage_fused_mode(
-            stage, cfg, x.shape[-1], x.dtype if dtype is None else dtype
+            stage, cfg, x.shape[-1], x.dtype if dtype is None else dtype,
+            idx=i,
         )
         if mode is not None:
             return _run_stage_fused_windows(stage, cfg, x, i, dtype, mode)

@@ -35,36 +35,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(
-    pos_ref,  # scalar prefetch (1,) int32
-    src_ref,  # scalar prefetch (B,) int32 beam-source rows (used by index maps)
-    q_ref,  # in  (1, E, d)  query_exp + cond at pos
-    bias_ref,  # in  (1, E, d)  bias_exp + cond at pos
-    k_ref,  # in  (1, d)
-    ca_in_ref,  # in  (1, d)
-    cb_in_ref,  # in  (1, d)
-    cond_in_ref,  # in  (1, d)
-    sel_ref,  # in  (1, d) selector (sigmoid already applied)
-    embed_ref,  # in  (E, d) query_exp embedding (shared across rows)
-    _keys_in,  # in  (1, L, d)    cache row src_ref[i]
-    _ca_in,  # in  (1, L, d)
-    _cb_in,  # in  (1, L, d)
-    _cond_in,  # in  (1, L, d)
-    _vals_a_in,  # in  (1, L, E, d)
-    _vals_b_in,  # in  (1, L, E, d)
-    keys_ref,  # out (1, L, d)
-    ca_ref,  # out (1, L, d)
-    cb_ref,  # out (1, L, d)
-    cond_ref,  # out (1, L, d)
-    vals_a_ref,  # out (1, L, E, d)
-    vals_b_ref,  # out (1, L, E, d)
-    out_ref,  # out (1, d)
-    *,
-    eps: float,
-    L: int,
-    E: int,
-    d: int,
+def _dyn_core(
+    pos_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref, cond_in_ref,
+    sel_ref, embed_ref, _keys_in, _ca_in, _cb_in, _cond_in, _vals_a_in,
+    _vals_b_in, keys_ref, ca_ref, cb_ref, cond_ref, vals_a_ref, vals_b_ref,
+    *, eps: float, L: int, E: int, d: int,
 ):
+    """The dynamic-expansion step body shared by every kernel variant: writes
+    the six cache refs and returns the selector-mixed output (1, d) fp32."""
     pos = pos_ref[0]
     cd = keys_ref.dtype
     k_row = k_ref[0]  # (1, d) — per-row tensors ride as (1, 1, d) blocks
@@ -172,7 +150,22 @@ def _kernel(
         preferred_element_type=jnp.float32,
     )
     sel = sel_ref[0].astype(jnp.float32)  # (1, d)
-    out_ref[0] = (sel * out_a + (1.0 - sel) * out_b).astype(out_ref.dtype)
+    return sel * out_a + (1.0 - sel) * out_b  # (1, d) fp32
+
+
+def _kernel(
+    pos_ref, src_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref,
+    cond_in_ref, sel_ref, embed_ref, _keys_in, _ca_in, _cb_in, _cond_in,
+    _vals_a_in, _vals_b_in, keys_ref, ca_ref, cb_ref, cond_ref, vals_a_ref,
+    vals_b_ref, out_ref, *, eps: float, L: int, E: int, d: int,
+):
+    out = _dyn_core(
+        pos_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref, cond_in_ref,
+        sel_ref, embed_ref, _keys_in, _ca_in, _cb_in, _cond_in, _vals_a_in,
+        _vals_b_in, keys_ref, ca_ref, cb_ref, cond_ref, vals_a_ref,
+        vals_b_ref, eps=eps, L=L, E=E, d=d,
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _kernel_dst(
@@ -343,3 +336,268 @@ def dyn_exp_step_pallas(
     )(*args)
     new_keys, new_ca, new_cb, new_cond, new_va, new_vb, out = outs
     return out.reshape(b, d), new_keys, new_ca, new_cb, new_cond, new_va, new_vb
+
+
+# ---------------------------------------------------------------------------
+# Fused dyn-step + cross-attention (VERDICT r3 item 7): one kernel per layer
+# per token runs the dynamic-expansion step AND the residual-add -> LayerNorm
+# -> single-query cross-attention (Wq/out_linear GEMMs included) tail, so the
+# while-loop body dispatches ONE custom call per decoder layer instead of a
+# Pallas call plus the ~10 XLA ops of decode/cache._cross_attention_step.
+# The FF half (2 x d*ff GEMMs = 4 MB/layer bf16) deliberately stays in XLA:
+# it batches all rows in one MXU dispatch and its weights would dominate the
+# kernel's VMEM budget beside the L-slot value caches.
+# ---------------------------------------------------------------------------
+
+
+def _cross_tail(
+    out_dyn, y_ref, g2_ref, b2_ref, wq_ref, bq_ref, wo_ref, bo_ref,
+    kc_ref, vc_ref, mask_ref, cd, *, heads, ln_eps, attn_fill, d, rd,
+):
+    """y + out_dyn -> LN2 -> single-query cross-attention -> y residual.
+
+    Replicates decode/cache._cross_attention_step's exact dtype discipline:
+    `rd` is the compute dtype the XLA path passes to linear() (its rounding
+    point), `cd` the cache storage dtype (the .astype(k.dtype)/.astype(
+    v.dtype) casts); fp32 stats/softmax/accumulation throughout; dots run on
+    fp32-cast operands — exact for bf16 values — because Mosaic miscompiles
+    bf16-operand dots at these shapes (see _dyn_core's note). Returns the
+    (1, d) fp32 residual stream after the cross-attention add."""
+    y = y_ref[0].astype(jnp.float32) + out_dyn  # (1, d)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    x2 = (y - mean) * jax.lax.rsqrt(var + ln_eps) * g2_ref[:].astype(
+        jnp.float32
+    ) + b2_ref[:].astype(jnp.float32)
+
+    q = jax.lax.dot_general(
+        x2.astype(rd).astype(jnp.float32), wq_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # linear() rounds its output to rd; the XLA path then casts q to the
+    # cache dtype before the score einsum (.astype(k.dtype))
+    q = (
+        (q + bq_ref[:].astype(jnp.float32))
+        .astype(rd).astype(cd).astype(jnp.float32)
+    )
+
+    dk = d // heads
+    s = kc_ref.shape[1]
+    kc = kc_ref[0].astype(jnp.float32)  # (S, d)
+    vc = vc_ref[0].astype(jnp.float32)
+    # scores[s, h] = sum_k kc[s, h*dk+k] * q[h*dk+k] / sqrt(dk): elementwise
+    # product, then a constant one-hot head-sum matrix on the MXU (exact —
+    # the zero terms add exactly; only fp32 summation order differs from the
+    # XLA einsum)
+    m_h = (
+        jax.lax.broadcasted_iota(jnp.int32, (d, heads), 0) // dk
+        == jax.lax.broadcasted_iota(jnp.int32, (d, heads), 1)
+    ).astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        kc * q, m_h, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / (dk**0.5)  # (S, heads)
+    scores = jnp.where(mask_ref[0] > 0, scores, attn_fill)
+    mx = jnp.max(scores, axis=0, keepdims=True)
+    ex = jnp.exp(scores - mx)
+    attn = ex / jnp.sum(ex, axis=0, keepdims=True)
+    attn = attn.astype(cd).astype(jnp.float32)  # XLA casts attn to v.dtype
+    attn_exp = jax.lax.dot_general(
+        attn, m_h, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (S, d): column c carries attn[:, c // dk]
+    o = jax.lax.dot_general(
+        jnp.ones((1, s), jnp.float32), vc * attn_exp,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, d)
+    o = o.astype(rd).astype(jnp.float32)  # linear() casts its input to rd
+    mo = jax.lax.dot_general(
+        o, wo_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mo = (mo + bo_ref[:].astype(jnp.float32)).astype(rd).astype(jnp.float32)
+    return y + mo
+
+
+def _kernel_cross(
+    pos_ref, src_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref,
+    cond_in_ref, sel_ref, embed_ref, y_ref, g2_ref, b2_ref, wq_ref, bq_ref,
+    wo_ref, bo_ref, kc_ref, vc_ref, mask_ref, _keys_in, _ca_in, _cb_in,
+    _cond_in, _vals_a_in, _vals_b_in, keys_ref, ca_ref, cb_ref, cond_ref,
+    vals_a_ref, vals_b_ref, yout_ref,
+    *, eps, L, E, d, heads, ln_eps, attn_fill, rd,
+):
+    out = _dyn_core(
+        pos_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref, cond_in_ref,
+        sel_ref, embed_ref, _keys_in, _ca_in, _cb_in, _cond_in, _vals_a_in,
+        _vals_b_in, keys_ref, ca_ref, cb_ref, cond_ref, vals_a_ref,
+        vals_b_ref, eps=eps, L=L, E=E, d=d,
+    )
+    yout_ref[0] = _cross_tail(
+        out, y_ref, g2_ref, b2_ref, wq_ref, bq_ref, wo_ref, bo_ref, kc_ref,
+        vc_ref, mask_ref, keys_ref.dtype, heads=heads, ln_eps=ln_eps,
+        attn_fill=attn_fill, d=d, rd=rd,
+    ).astype(yout_ref.dtype)
+
+
+def _kernel_cross_dst(
+    pos_ref, src_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref,
+    cond_in_ref, sel_ref, embed_ref, y_ref, g2_ref, b2_ref, wq_ref, bq_ref,
+    wo_ref, bo_ref, kc_ref, vc_ref, mask_ref, _keys_in, _ca_in, _cb_in,
+    _cond_in, _vals_a_in, _vals_b_in, _d0, _d1, _d2, _d3, _d4, _d5,
+    keys_ref, ca_ref, cb_ref, cond_ref, vals_a_ref, vals_b_ref, yout_ref,
+    *, eps, L, E, d, heads, ln_eps, attn_fill, rd,
+):
+    _kernel_cross(
+        pos_ref, src_ref, q_ref, bias_ref, k_ref, ca_in_ref, cb_in_ref,
+        cond_in_ref, sel_ref, embed_ref, y_ref, g2_ref, b2_ref, wq_ref,
+        bq_ref, wo_ref, bo_ref, kc_ref, vc_ref, mask_ref, _keys_in, _ca_in,
+        _cb_in, _cond_in, _vals_a_in, _vals_b_in, keys_ref, ca_ref, cb_ref,
+        cond_ref, vals_a_ref, vals_b_ref, yout_ref, eps=eps, L=L, E=E, d=d,
+        heads=heads, ln_eps=ln_eps, attn_fill=attn_fill, rd=rd,
+    )
+
+
+def dyn_exp_cross_step_pallas(
+    pos, q_i, bias_i, k_i, ca_i, cb_i, cond_i, sel, embed,
+    y,  # (B, d) residual stream BEFORE the dyn-expansion add (fp32)
+    ln2,  # {'scale', 'bias'} LayerNorm params
+    wq, bq, wo, bo,  # cross-attention Wq / out_linear (dense)
+    k_cross, v_cross,  # (B_img, S, d) cached encoder projections
+    enc_mask_f,  # (B_img, S) f32 1/0 mask (ones when no encoder pads)
+    keys, ca, cb, cond, vals_a, vals_b,
+    *, heads: int, ln_eps: float, attn_fill: float, group: int = 1,
+    eps: float = 1e-9, reorder=None, dst=None, in_place=False,
+    compute_dtype=None,
+):
+    """Fused dyn-step + LN2 + single-query cross-attention (+ both residual
+    adds). Same cache/reorder/donation semantics as dyn_exp_step_pallas;
+    returns (y_out (B, d) fp32, keys, ca, cb, cond, vals_a, vals_b).
+
+    k_cross/v_cross/enc_mask_f have one row per IMAGE; row i of the batch
+    reads image row i // group (beams/samples of one image share them), which
+    also keeps them out of the while carry."""
+    b, L, E, d = vals_a.shape
+    cd = keys.dtype
+    rd = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32
+    s = k_cross.shape[1]
+    if in_place:
+        assert reorder is None and dst is None, (
+            "in_place needs identity cache reads (no reorder) and no dst"
+        )
+    if reorder is None:
+        reorder = jnp.arange(b, dtype=jnp.int32)
+
+    row = lambda i, _p, _s: (i, 0, 0)
+    src_row = lambda i, _p, s_: (s_[i], 0, 0)
+    src_row4 = lambda i, _p, s_: (s_[i], 0, 0, 0)
+    out_row = lambda i, _p, _s: (i, 0, 0)
+    out_row4 = lambda i, _p, _s: (i, 0, 0, 0)
+    const2 = lambda i, _p, _s: (0, 0)
+    img_row = lambda i, _p, _s: (i // group, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, E, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, d), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), row, memory_space=pltpu.VMEM),  # y
+        pl.BlockSpec((1, d), const2, memory_space=pltpu.VMEM),  # g2
+        pl.BlockSpec((1, d), const2, memory_space=pltpu.VMEM),  # b2
+        pl.BlockSpec((d, d), const2, memory_space=pltpu.VMEM),  # wq
+        pl.BlockSpec((1, d), const2, memory_space=pltpu.VMEM),  # bq
+        pl.BlockSpec((d, d), const2, memory_space=pltpu.VMEM),  # wo
+        pl.BlockSpec((1, d), const2, memory_space=pltpu.VMEM),  # bo
+        pl.BlockSpec((1, s, d), img_row, memory_space=pltpu.VMEM),  # kc
+        pl.BlockSpec((1, s, d), img_row, memory_space=pltpu.VMEM),  # vc
+        pl.BlockSpec((1, s, 1), img_row, memory_space=pltpu.VMEM),  # mask
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), src_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), src_row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), src_row4, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, d), out_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), out_row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, E, d), out_row4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), out_row, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(keys.shape, cd),
+        jax.ShapeDtypeStruct(ca.shape, cd),
+        jax.ShapeDtypeStruct(cb.shape, cd),
+        jax.ShapeDtypeStruct(cond.shape, cd),
+        jax.ShapeDtypeStruct(vals_a.shape, cd),
+        jax.ShapeDtypeStruct(vals_b.shape, cd),
+        jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+    ]
+    args = [
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        jnp.asarray(reorder, jnp.int32).reshape(b),
+        q_i.astype(cd), bias_i.astype(cd),
+        k_i.astype(cd).reshape(b, 1, d), ca_i.astype(cd).reshape(b, 1, d),
+        cb_i.astype(cd).reshape(b, 1, d), cond_i.astype(cd).reshape(b, 1, d),
+        sel.astype(jnp.float32).reshape(b, 1, d),
+        embed.astype(cd),
+        y.astype(jnp.float32).reshape(b, 1, d),
+        ln2["scale"].astype(jnp.float32).reshape(1, d),
+        ln2["bias"].astype(jnp.float32).reshape(1, d),
+        wq.astype(rd), bq.astype(jnp.float32).reshape(1, d),
+        wo.astype(rd), bo.astype(jnp.float32).reshape(1, d),
+        k_cross, v_cross,
+        enc_mask_f.astype(jnp.float32)[..., None],
+        keys, ca, cb, cond, vals_a, vals_b,
+    ]
+    kw = dict(eps=eps, L=L, E=E, d=d, heads=heads, ln_eps=ln_eps,
+              attn_fill=attn_fill, rd=rd)
+    aliases = {}
+    if in_place:
+        # cache inputs at tensor slots 18..23 (+2 scalar-prefetch operands)
+        aliases = {20 + j: j for j in range(6)}
+        kernel = functools.partial(_kernel_cross, **kw)
+    elif dst is not None:
+        const3 = lambda i, _p, _s: (0, 0, 0)
+        const4 = lambda i, _p, _s: (0, 0, 0, 0)
+        in_specs = in_specs + [
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, E, d), const4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, E, d), const4, memory_space=pltpu.VMEM),
+        ]
+        args = args + list(dst)
+        aliases = {26 + j: j for j in range(6)}
+        kernel = functools.partial(_kernel_cross_dst, **kw)
+    else:
+        kernel = functools.partial(_kernel_cross, **kw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    new_keys, new_ca, new_cb, new_cond, new_va, new_vb, y_out = outs
+    return (
+        y_out.reshape(b, d), new_keys, new_ca, new_cb, new_cond, new_va,
+        new_vb,
+    )

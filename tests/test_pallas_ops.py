@@ -581,3 +581,75 @@ def test_topk_routing():
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
     finally:
         set_dyn_step_impl("xla")
+
+
+def test_dyn_cross_fused_step_matches_xla_and_unfused():
+    """VERDICT r3 item 7: the fused dyn-step + LN2 + cross-attention kernel
+    ('pallas') must match the XLA step and the round-3 dyn-kernel + XLA-cross
+    form ('pallas_unfused') — including grouped cross-attention K/V rows,
+    encoder pad masks, and the beam reshuffle fused into the cache reads."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.config import CaptionerConfig
+    from on_device_image_captioning_tpu.decode import cache as dc
+    from on_device_image_captioning_tpu.models.captioner import captioner_init
+
+    cfg = CaptionerConfig(
+        d_model=32, N_enc=1, N_dec=1, ff=64, num_heads=4,
+        num_exp_enc_list=(4,), num_exp_dec=4, vocab_size=50, max_seq_len=10,
+        img_feature_dim=32, sos_idx=2, eos_idx=3, pad_idx=0, unk_idx=1,
+    )
+    params = captioner_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b_img, group = 2, 2
+    b = b_img * group
+    enc = jnp.asarray(rng.standard_normal((b_img, 6, 32), dtype=np.float32))
+    enc_pads = jnp.asarray([0, 2], jnp.int32)
+    toks = jnp.asarray(rng.integers(0, 50, (b,)), jnp.int32)
+    reorders = [None] + [
+        jnp.asarray(
+            rng.integers(0, group, (b,)) + (np.arange(b) // group) * group,
+            jnp.int32,
+        )
+        for _ in range(2)
+    ]
+
+    for dtype, cache_dtype, tol in (
+        (None, jnp.float32, 5e-5),
+        (jnp.bfloat16, jnp.bfloat16, 5e-2),
+    ):
+        st0 = dc.init_state(
+            params, cfg, enc, 10, cache_dtype=cache_dtype,
+            enc_num_pads=enc_pads,
+        )
+        muts, static = dc.split_state(st0)
+        rep = jnp.repeat(jnp.arange(b_img), group)
+        muts = [
+            dc.MutCaches(*(jnp.take(a, rep, axis=0) for a in m))
+            for m in muts
+        ]
+        st = dc.merge_state(muts, static)
+        results = {}
+        for impl in ("xla", "pallas_unfused", "pallas"):
+            dc.set_dyn_step_impl(impl)
+            try:
+                state, ys = st, []
+                for pos in range(3):
+                    lp, state = dc.dec_step(
+                        params, cfg, state, toks, jnp.int32(pos),
+                        dtype=dtype, reorder=reorders[pos], group=group,
+                    )
+                    ys.append(lp)
+                results[impl] = np.asarray(jnp.stack(ys), np.float32)
+            finally:
+                dc.set_dyn_step_impl("xla")
+        for impl in ("pallas_unfused", "pallas"):
+            np.testing.assert_allclose(
+                results[impl], results["xla"], atol=tol, rtol=0,
+                err_msg=f"{impl} dtype={dtype}",
+            )
+        if cache_dtype == jnp.bfloat16:
+            # same kernel dot discipline -> fused == unfused bitwise at bf16
+            np.testing.assert_array_equal(
+                results["pallas"], results["pallas_unfused"]
+            )
