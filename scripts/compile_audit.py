@@ -106,6 +106,8 @@ def build_cases(quick: bool):
         cases.append(("infer_b32_beam3_L20", infer_case(32, 3, 20, "none")))
         cases.append(("infer_b64_beam3_L20", infer_case(64, 3, 20, "none")))
         cases.append(("infer_b1_beam5_L74_p50", infer_case(1, 5, 74, "none")))
+        # bench.py's eval-workload scoreboard row (b32/beam3/L74 chunked)
+        cases.append(("infer_b32_beam3_L74_eval", infer_case(32, 3, 74, "none")))
         cases.append(("infer_b64_beam3_L20_w8", infer_case(64, 3, 20, "w8")))
     return cases
 
