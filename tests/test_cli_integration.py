@@ -84,15 +84,24 @@ def test_train_xe_then_scst_then_evaluate(corpus, tmp_path):
          if f.startswith("checkpoint_")),
         key=os.path.getmtime,
     )
+    dump = str(tmp_path / "preds.json")
     rc = eval_cli.main(
         [
             "--dataset", "coco", "--annotations", corpus["ann"],
             "--features_path", corpus["features"], "--load_path", newest,
             "--split", "test", "--beam_sizes", "2", "--batch_size", "2",
-            "--max_seq_len", "12", "--eval_loss", *TINY_FLAGS,
+            "--max_seq_len", "12", "--eval_loss",
+            "--dump_predictions", dump, *TINY_FLAGS,
         ]
     )
     assert rc == 0
+    # --dump_predictions: machine-readable captions for drift diffs
+    import json
+
+    with open(dump) as f:
+        preds = json.load(f)
+    assert set(preds.keys()) == {"2"}  # one entry per beam size
+    assert preds["2"] and all(isinstance(v, str) for v in preds["2"].values())
 
 
 def test_train_cli_shards_over_virtual_mesh(corpus, tmp_path, monkeypatch):
