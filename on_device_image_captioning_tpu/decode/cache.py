@@ -123,12 +123,18 @@ def set_dyn_step_impl(impl: str) -> None:
     """One knob for the Pallas decode path: the fused dyn-expansion step AND
     the vocab-wide candidate top-k (ops/topk.py) follow it together.
 
-    'pallas' = the production kernel: dyn step + LN2 + cross-attention fused
-    into ONE call per layer per token (ops/dyn_exp_step.dyn_exp_cross_step_
-    pallas). 'pallas_unfused' keeps the round-3 form (dyn-step kernel + XLA
-    cross-attention) — benchmarking/bisection only, not CLI-exposed."""
+    'pallas' = the production kernel (dyn-step Pallas kernel + XLA
+    cross-attention). 'pallas_fused' additionally folds LN2 + the
+    single-query cross-attention into the same call (ops/dyn_exp_step.
+    dyn_exp_cross_step_pallas) — built for VERDICT r3 item 7 and MEASURED
+    SLOWER at every operating point (b32/beam3/L20 14.58 -> 17.09 ms,
+    b8 5.56 -> 5.92, b1/beam5/L74 6.80 -> 7.79; tokens identical): the
+    in-kernel per-row Wq/out_linear matvecs and serial softmax cost more
+    than the XLA dispatches they remove, because XLA batches those GEMMs
+    across all rows in one MXU call. Kept as the recorded negative and for
+    shape regimes where dispatch latency could dominate; not CLI-exposed."""
     global _DYN_STEP_IMPL
-    assert impl in ("xla", "pallas", "pallas_unfused"), impl
+    assert impl in ("xla", "pallas", "pallas_fused"), impl
     _DYN_STEP_IMPL = impl
     from ..ops.topk import set_topk_impl
 
@@ -439,10 +445,10 @@ def dec_step(
     for i in range(cfg.N_dec):
         lp = params["decoders"][i]
         cache = state.layers[i]
-        if _DYN_STEP_IMPL == "pallas" and "w" in lp["mha"]["Wq"]:
-            # production path: dyn + LN2 + cross-attention in ONE kernel
-            # (quantized Wq/out_linear nodes fall back to the unfused form —
-            # dequantize_tree normally expands them before decode)
+        if _DYN_STEP_IMPL == "pallas_fused" and "w" in lp["mha"]["Wq"]:
+            # opt-in: dyn + LN2 + cross-attention in ONE kernel (measured
+            # slower than the default at production shapes — see
+            # set_dyn_step_impl; quantized Wq/out_linear nodes fall back)
             y, cache = _dyn_cross_fused_step(
                 lp, cfg, cache, y, pos, dtype, reorder,
                 dst=None if prev is None else prev[i], in_place=in_place,
