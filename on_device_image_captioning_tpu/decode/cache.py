@@ -205,10 +205,26 @@ def _dyn_exp_step(
     e = cfg.num_exp_dec
     L = cache.keys.shape[1]
 
-    cond = linear(p["cond_embed"], x2, dtype)  # (B, d)
-    k_i = linear(p["key_linear"], x2, dtype)
-    ca_i = linear(p["class_a_embed"], x2, dtype)
-    cb_i = linear(p["class_b_embed"], x2, dtype)
+    _PROJ = ("cond_embed", "key_linear", "class_a_embed", "class_b_embed",
+             "selector_embed")
+    packed = _DYN_STEP_IMPL != "xla" and all(
+        "w" in p[k] for k in _PROJ
+    )
+    if packed:
+        # one (B, d) x (d, 5d) GEMM instead of five d x d dispatches per
+        # layer per step (identical per-column contraction — tokens match
+        # the separate form; the XLA impl keeps the reference-exact op
+        # order). The concats are loop-invariant; XLA's while-LICM hoists
+        # them out of the decode body.
+        w5 = jnp.concatenate([p[k]["w"] for k in _PROJ], axis=1)
+        b5 = jnp.concatenate([p[k]["b"] for k in _PROJ])
+        y5 = linear({"w": w5, "b": b5}, x2, dtype)
+        cond, k_i, ca_i, cb_i, sel_lin = jnp.split(y5, 5, axis=-1)
+    else:
+        cond = linear(p["cond_embed"], x2, dtype)  # (B, d)
+        k_i = linear(p["key_linear"], x2, dtype)
+        ca_i = linear(p["class_a_embed"], x2, dtype)
+        cb_i = linear(p["class_b_embed"], x2, dtype)
     q_i = p["query_exp"]["embed"][None] + cond[:, None]  # (B, E, d)
     bias_i = p["bias_exp"]["embed"][None] + cond[:, None]
 
@@ -216,7 +232,10 @@ def _dyn_exp_step(
         from ..ops.dyn_exp_step import dyn_exp_step_pallas
 
         sel = jax.nn.sigmoid(
-            linear(p["selector_embed"], x2, dtype).astype(jnp.float32)
+            (
+                sel_lin if packed
+                else linear(p["selector_embed"], x2, dtype)
+            ).astype(jnp.float32)
         )
         out, keys, ca, cb, cond_c, vals_a, vals_b = dyn_exp_step_pallas(
             pos, q_i, bias_i, k_i, ca_i, cb_i, cond, sel,
