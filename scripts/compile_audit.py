@@ -108,6 +108,52 @@ def build_cases(quick: bool):
         cases.append(("infer_b1_beam5_L74_p50", infer_case(1, 5, 74, "none")))
         # bench.py's eval-workload scoreboard row (b32/beam3/L74 chunked)
         cases.append(("infer_b32_beam3_L74_eval", infer_case(32, 3, 74, "none")))
+
+        # the fused shared-forward SCST step (bench.py scoreboard / --reinforce
+        # --device_reward): one jit of encoder-fwd-via-vjp + sampling + device
+        # CIDEr-D + REINFORCE grad + RAdam — exercises the train kernels AND
+        # the sampling decode path in one graph
+        def scst_case(batch=16, num_samples=5, scst_max_len=20):
+            from on_device_image_captioning_tpu.data.text import (
+                EOS_TOKEN, PAD_TOKEN, SOS_TOKEN, UNK_TOKEN, Vocab,
+            )
+            from on_device_image_captioning_tpu.train.device_cider import (
+                DeviceCiderCorpus,
+            )
+            from on_device_image_captioning_tpu.train.train_step import (
+                make_scst_fused_step,
+            )
+
+            words = [PAD_TOKEN, SOS_TOKEN, EOS_TOKEN, UNK_TOKEN] + [
+                f"w{i}" for i in range(cfg.captioner.vocab_size - 4)
+            ]
+            vocab = Vocab({w: i for i, w in enumerate(words)})
+            srng = np.random.default_rng(0)
+            refs = [
+                [" ".join(srng.choice(words[4:1000], size=srng.integers(8, 14)))
+                 for _ in range(5)]
+                for _ in range(50)
+            ]
+            dcorpus = DeviceCiderCorpus(refs, vocab)
+            opt = radam(1e-5)
+            state = init_train_state(params, opt)
+            shared = jax.jit(
+                make_scst_fused_step(
+                    cfg, opt, end_to_end_model=True, num_samples=num_samples,
+                    scst_max_len=scst_max_len, sos_idx=vocab.sos_idx,
+                    eos_idx=vocab.eos_idx, reward_fn=dcorpus.make_reward_fn(),
+                )
+            )
+            images = jnp.asarray(
+                srng.standard_normal((batch, 384, 384, 3), dtype=np.float32)
+            )
+            bt = {k: jnp.asarray(v)
+                  for k, v in dcorpus.batch(srng.integers(0, 50, batch)).items()}
+            return lambda: shared.lower(
+                state, {"enc_input": images}, bt, jax.random.PRNGKey(1)
+            ).compile()
+
+        cases.append(("scst_fused_b16x5_L20", scst_case()))
         cases.append(("infer_b64_beam3_L20_w8", infer_case(64, 3, 20, "w8")))
     return cases
 
