@@ -57,9 +57,19 @@ def _kernel(x_ref, vals_ref, idx_ref, *, k: int, V: int):
 
 
 def _rows_per_block(rows: int, V: int) -> int:
-    best = 1
+    """Largest row-block size that divides `rows`, fits the VMEM target AND
+    satisfies Mosaic's tiling rule (second-minor block dim divisible by 8,
+    or equal to the full array dim). Returns 0 when no such block exists
+    (e.g. rows = 4 * odd with a wide V) — topk() then falls back to
+    lax.top_k. The missing %8 constraint crashed fresh compiles at rows not
+    divisible by 32-ish (found at batch 112: rows=112 picked 28)."""
+    best = 0
     for rpb in range(1, rows + 1):
-        if rows % rpb == 0 and rpb * V <= _TARGET_ELEMS:
+        if (
+            rows % rpb == 0
+            and rpb * V <= _TARGET_ELEMS
+            and (rpb % 8 == 0 or rpb == rows)
+        ):
             best = rpb
     return best
 
@@ -104,5 +114,6 @@ def topk(x: jnp.ndarray, k: int):
     the pallas impl is selected (narrow rows stay on lax — the kernel's win
     is only the vocab-wide candidate stage)."""
     if _TOPK_IMPL == "pallas" and x.ndim == 2 and x.shape[-1] >= 1024 and k <= 8:
-        return topk_pallas(x, k)
+        if _rows_per_block(*x.shape) > 0:
+            return topk_pallas(x, k)
     return jax.lax.top_k(x, k)

@@ -654,3 +654,30 @@ def test_dyn_cross_fused_step_matches_xla_and_unfused():
             np.testing.assert_array_equal(
                 results["pallas_fused"], results["pallas"]
             )
+
+
+def test_topk_row_blocks_respect_mosaic_tiling():
+    """Regression (found at batch 112, rows=112): _rows_per_block must only
+    pick blocks divisible by 8 (or the whole array) — Mosaic rejects other
+    second-minor block sizes — and topk() must fall back to lax.top_k when
+    no legal block exists instead of crashing the compile."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.ops import topk as tk
+
+    for rows in (32, 80, 96, 112, 240, 336, 12, 28, 7):
+        rpb = tk._rows_per_block(rows, 10_000)
+        assert rpb == 0 or (rows % rpb == 0 and (rpb % 8 == 0 or rpb == rows))
+    assert tk._rows_per_block(112, 10_000) == 16
+    assert tk._rows_per_block(28, 10_000) == 28  # == rows is legal
+    # a shape with NO legal block must still produce correct top-k output
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((28, 2048), dtype=np.float32))
+    tk.set_topk_impl("pallas")
+    try:
+        v, i = tk.topk(x, 3)
+        vr, ir = jax.lax.top_k(x, 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr))
+    finally:
+        tk.set_topk_impl("xla")
