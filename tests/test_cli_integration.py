@@ -428,3 +428,43 @@ def test_train_scst_device_reward(corpus, tmp_path):
     ])
     assert rc == 0
     assert any(f.startswith("checkpoint_") for f in os.listdir(save))
+
+
+def test_converge_synthetic_data_generator(tmp_path):
+    """scripts/converge_synthetic.py's corpus must stay loadable by the real
+    dataset/vocab pipeline: annotations in Karpathy format, captions fully
+    in-vocab (no UNK in references), full requested vocabulary size, and
+    learnable slot words present."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "converge_synthetic",
+        _os.path.join(_os.path.dirname(__file__), "..", "scripts",
+                      "converge_synthetic.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    data = str(tmp_path / "data")
+    vocab_path = mod.make_data(data, 6, 2, 2, size=48, vocab_words=150)
+    from on_device_image_captioning_tpu.data.datasets import load_coco_karpathy
+    from on_device_image_captioning_tpu.data.text import Vocab
+
+    vocab = Vocab.from_json(vocab_path)
+    assert len(vocab) == 150
+    ds = load_coco_karpathy(
+        os.path.join(data, "dataset_coco.json"),
+        os.path.join(data, "MS_COCO_2014"), vocab=vocab,
+    )
+    assert len(ds.records("train")) == 6
+    assert len(ds.records("val")) == 2 and len(ds.records("test")) == 2
+    unk = vocab.unk_idx
+    for r in ds.records("train"):
+        assert os.path.exists(r["img_path"])
+        assert len(r["captions"]) == 5
+        for c in r["captions"]:
+            ids = vocab.encode_caption(c)
+            assert unk not in ids, (c, ids)  # every ref word in-vocab
+    for w in ("red", "circle", "center", "navy"):
+        assert w in vocab.word2idx
