@@ -36,28 +36,32 @@ class BeamResult(NamedTuple):
     lengths: jnp.ndarray  # (B, how_many_outputs) int32 incl. SOS and EOS
 
 
-def default_chunk_schedule(max_seq_len: int, first: int = 24):
+def default_chunk_schedule(max_seq_len: int, first: int = 12):
     """Cache-length schedule for chunked decode: single phase for very short
     budgets, a (12, L) two-phase for short ones (the TRT-style 20-step decode
     measures 15.5 -> 13.5 ms at b32/beam3 from running steps 2..12 on 12-slot
     caches — the per-step Pallas dyn-step kernels are bandwidth-bound on the
-    vals caches, so traffic scales with CURRENT cache length), else `first`
-    doubled until it reaches max_seq_len. All non-final chunks are even —
-    required for the double-buffered loop body's phase handoff (see
-    beam_loop). A doubled chunk within 8 steps of max_seq_len merges into the
-    final phase (each phase compiles its own decoder-step kernels; a
-    near-degenerate final phase like 96 -> 100 would pay a whole compile for
-    a few steps that position-masking makes free to fold into the previous
-    one)."""
+    vals caches, so traffic scales with CURRENT cache length), else a dense
+    ramp: 12, 24, then +16 per phase. The round-4 sweep at the eval budget
+    (L=74, b32/beam3) measured the dense ramp (12,24,40,56,74) at 111.7 ms
+    no-EOS / 118.3 ms typical-EOS vs the former doubled (24,48,74)'s
+    116.9 / 125.2 — per-step cache traffic tracks the CURRENT chunk length,
+    so more, smaller phases win until per-phase compile/launch overhead
+    bites (each phase compiles its own decoder-step kernels). All non-final
+    chunks are even — required for the double-buffered loop body's phase
+    handoff (see beam_loop). A chunk within 8 steps of max_seq_len merges
+    into the final phase (a near-degenerate final phase like 96 -> 100
+    would pay a whole compile for a few steps that position-masking makes
+    free to fold into the previous one)."""
     if max_seq_len <= 16:
         return (max_seq_len,)
-    if max_seq_len <= first + 8:
+    if max_seq_len <= 20:
         return (12, max_seq_len)
     chunks = []
     c = first
-    while c < max_seq_len and c + 8 < max_seq_len:
+    while c + 8 < max_seq_len:
         chunks.append(c + (c % 2))
-        c *= 2
+        c = 2 * c if c < 24 else c + 16
     chunks.append(max_seq_len)
     return tuple(chunks)
 

@@ -373,11 +373,14 @@ def test_default_chunk_schedule():
     assert bs.default_chunk_schedule(16) == (16,)
     assert bs.default_chunk_schedule(20) == (12, 20)
     assert bs.default_chunk_schedule(32) == (12, 32)
-    assert bs.default_chunk_schedule(74) == (24, 48, 74)
-    # a doubled chunk within 8 of the budget merges into the final phase
+    # long budgets ramp densely: 12, 24, then +16 per phase (round-4 sweep:
+    # (12,24,40,56,74) beats the former doubled (24,48,74) by ~5% at both
+    # the no-EOS and typical-EOS eval workloads)
+    assert bs.default_chunk_schedule(74) == (12, 24, 40, 56, 74)
+    # a chunk within 8 of the budget merges into the final phase
     # (no near-degenerate 96 -> 100 phase paying a whole compile for 4 steps)
-    assert bs.default_chunk_schedule(100) == (24, 48, 100)
-    assert bs.default_chunk_schedule(128) == (24, 48, 96, 128)
+    assert bs.default_chunk_schedule(100) == (12, 24, 40, 56, 72, 88, 100)
+    assert bs.default_chunk_schedule(64) == (12, 24, 40, 64)
     # non-final chunks always even (double-buffer phase-handoff requirement)
     for L in range(33, 200, 7):
         sched = bs.default_chunk_schedule(L)
