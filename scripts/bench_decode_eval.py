@@ -98,7 +98,11 @@ def main():
     print(f"typical-exit eos token: {typical_eos} "
           f"(count {hist.most_common(1)[0][1]})", flush=True)
 
-    schedules = {"single(74)": (L,), "chunked(24,48,74)": (24, 48, L)}
+    schedules = {
+        "single(74)": (L,),
+        "chunked(24,48,74)": (24, 48, L),
+        "dense(12,24,40,56,74)": (12, 24, 40, 56, L),  # round-4 default
+    }
     for name, sched in schedules.items():
         for wl, eos in (("no-EOS ", cfg.vocab_size - 1),
                         ("typical", typical_eos)):
