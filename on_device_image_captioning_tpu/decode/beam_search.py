@@ -53,10 +53,11 @@ def default_chunk_schedule(max_seq_len: int, first: int = 12):
     into the final phase (a near-degenerate final phase like 96 -> 100
     would pay a whole compile for a few steps that position-masking makes
     free to fold into the previous one)."""
-    if max_seq_len <= 16:
+    first = first + (first % 2)  # non-final chunks must be even (see below)
+    if max_seq_len <= first + 4:
         return (max_seq_len,)
-    if max_seq_len <= 20:
-        return (12, max_seq_len)
+    if max_seq_len <= first + 8:
+        return (first, max_seq_len)
     chunks = []
     c = first
     while c + 8 < max_seq_len:

@@ -992,6 +992,19 @@ def _align(
                 -old[0], old[1], old[2], -old[3]
             ):
                 tgt[key] = val
+                # Bound fan-out DURING expansion too, not just at pop time:
+                # long segments with many repeated/synonymous tokens can
+                # otherwise blow up states[pos] to |states| x |candidates|
+                # before pos is ever popped. Pruning at 2x the beam and
+                # keeping the best beam-width states amortizes the sort.
+                if len(tgt) > 2 * _MAX_ALIGN_STATES:
+                    kept = sorted(
+                        tgt.items(),
+                        key=lambda kv: (
+                            -kv[1][0], kv[1][1], kv[1][2], -kv[1][3],
+                        ),
+                    )[:_MAX_ALIGN_STATES]
+                    states[pos] = dict(kept)
 
         for key, val in cur.items():
             mask, ph, pr = key

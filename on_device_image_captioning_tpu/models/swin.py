@@ -714,7 +714,14 @@ _STAGE_MODE_OVERRIDE: dict = {}
 
 def set_stage_mode_override(overrides: Optional[dict]) -> None:
     global _STAGE_MODE_OVERRIDE
-    _STAGE_MODE_OVERRIDE = dict(overrides or {})
+    overrides = dict(overrides or {})
+    for k, v in overrides.items():
+        if v not in ("full", "halves", "hybrid"):
+            raise ValueError(
+                f"stage_mode_override[{k!r}] = {v!r}; expected one of "
+                "'full' | 'halves' | 'hybrid'"
+            )
+    _STAGE_MODE_OVERRIDE = overrides
 
 
 def _stage_fused_mode(stage, cfg: SwinConfig, c: int, dtype, idx=None):
@@ -727,7 +734,23 @@ def _stage_fused_mode(stage, cfg: SwinConfig, c: int, dtype, idx=None):
     if any(a8) != all(a8):
         return None
     if idx is not None and idx in _STAGE_MODE_OVERRIDE and not any(a8):
-        return _STAGE_MODE_OVERRIDE[idx]
+        mode = _STAGE_MODE_OVERRIDE[idx]
+        # 'full' on a stage whose whole block set exceeds the kernel VMEM
+        # budget would overflow scoped VMEM at compile time; fail loudly
+        # here instead ('halves'/'hybrid' fit wherever 'halves' does).
+        if mode == "full" and not sbf.eligible(c, cfg.mlp_ratio, dtype):
+            raise ValueError(
+                f"stage_mode_override forces 'full' on stage {idx} "
+                f"(c={c}), which exceeds the fused-kernel VMEM budget"
+            )
+        if mode in ("halves", "hybrid") and not sbf.eligible_halves(
+            c, cfg.mlp_ratio, dtype
+        ):
+            raise ValueError(
+                f"stage_mode_override forces {mode!r} on stage {idx} "
+                f"(c={c}), which exceeds the halves-kernel VMEM budget"
+            )
+        return mode
     if not any(a8) and sbf.eligible(c, cfg.mlp_ratio, dtype):
         return "full"
     if sbf.eligible_halves(c, cfg.mlp_ratio, dtype):

@@ -80,6 +80,11 @@ def topk_pallas(x: jnp.ndarray, k: int):
     sorted descending, ties broken toward the lower index (== lax.top_k)."""
     rows, V = x.shape
     rpb = _rows_per_block(rows, V)
+    if rpb == 0:
+        # No row block both fits VMEM and satisfies Mosaic's %8 sublane rule
+        # (e.g. rows = 4 * odd with a wide V). topk() routes such shapes to
+        # lax.top_k before reaching here; a direct call gets the same result.
+        return jax.lax.top_k(x, k)
     grid = (rows // rpb,)
     return pl.pallas_call(
         functools.partial(_kernel, k=k, V=V),

@@ -388,6 +388,13 @@ def test_default_chunk_schedule():
         assert tuple(sorted(set(sched))) == sched
         # no phase adds fewer than 9 steps over its predecessor
         assert all(b - a > 8 for a, b in zip(sched, sched[1:]))
+    # `first` is honored consistently across budget regimes (ADVICE r4: the
+    # short-budget branch hardcoded 12, so first=16 only applied at long L)
+    assert bs.default_chunk_schedule(20, first=16) == (20,)
+    assert bs.default_chunk_schedule(24, first=16) == (16, 24)
+    assert bs.default_chunk_schedule(74, first=16)[0] == 16
+    # odd `first` rounds up to even (non-final chunks must be even)
+    assert bs.default_chunk_schedule(74, first=11)[0] == 12
 
 
 @pytest.mark.parametrize("chunks", [None, (6, 10, 17)])

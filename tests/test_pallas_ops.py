@@ -681,3 +681,35 @@ def test_topk_row_blocks_respect_mosaic_tiling():
         np.testing.assert_allclose(np.asarray(v), np.asarray(vr))
     finally:
         tk.set_topk_impl("xla")
+
+
+def test_topk_pallas_direct_call_no_legal_block():
+    """ADVICE r4: topk_pallas called DIRECTLY with a no-legal-block shape
+    must fall back to lax.top_k instead of ZeroDivisionError (grid division
+    by _rows_per_block's 0)."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.ops import topk as tk
+
+    rows, V = 12, 200_000  # 12 % 8 != 0 and rpb=rows blows the VMEM target
+    assert tk._rows_per_block(rows, V) == 0
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((rows, V), dtype=np.float32))
+    v, i = tk.topk_pallas(x, 3)
+    vr, ir = jax.lax.top_k(x, 3)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr))
+
+
+def test_stage_mode_override_validation():
+    """ADVICE r4: typo'd override modes and VMEM-ineligible forced modes must
+    fail loudly instead of silently falling through / overflowing scoped
+    VMEM at compile time."""
+    import pytest
+
+    from on_device_image_captioning_tpu.models import swin
+
+    with pytest.raises(ValueError, match="expected one of"):
+        swin.set_stage_mode_override({0: "hybird"})
+    swin.set_stage_mode_override({0: "hybrid"})  # valid value accepted
+    swin.set_stage_mode_override(None)
