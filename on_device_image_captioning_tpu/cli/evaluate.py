@@ -390,6 +390,27 @@ def main(argv=None):
             params = [load_params(lp, cfg) for lp in args.load_path]
         params = params[0] if len(params) == 1 else params
 
+    if args.param_config and not args.load_pruned:
+        # Full-stack checkpoints get the layer-removal surgery at load time
+        # (reference train.py:305-342 slices the reduce_group weight and
+        # drops layer idx 1); checkpoints already saved in reduced form pass
+        # through untouched.
+        from ..params import surgery
+
+        def _apply_surgery(p):
+            capp = p["captioner"] if "captioner" in p else p
+            if len(capp["encoders"]) == args.N_enc:
+                capp = surgery.remove_layer(capp, args.param_config)
+            if "captioner" in p:
+                return {**p, "captioner": capp}
+            return capp
+
+        params = (
+            [_apply_surgery(p) for p in params]
+            if isinstance(params, list)
+            else _apply_surgery(params)
+        )
+
     if args.quantize != "none":
         from ..deploy.quantization import quantize_tree
 

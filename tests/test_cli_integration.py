@@ -412,6 +412,40 @@ def test_evaluate_pruned_checkpoint(corpus, tmp_path):
     assert rc == 0
 
 
+def test_evaluate_param_config_surgery(corpus, tmp_path):
+    """--param_config 1/2 on a FULL 3-layer checkpoint applies the
+    layer-removal surgery at load (reduce_group slice, reference
+    train.py:305-342) instead of failing on the tree mismatch; an
+    already-reduced checkpoint passes through untouched."""
+    import jax
+
+    from on_device_image_captioning_tpu.cli import evaluate as eval_cli
+    from on_device_image_captioning_tpu.config import CaptionerConfig
+    from on_device_image_captioning_tpu.data.datasets import load_coco_karpathy
+    from on_device_image_captioning_tpu.models import captioner as cap_mod
+    from on_device_image_captioning_tpu.utils.checkpointing import save_checkpoint
+
+    ds = load_coco_karpathy(corpus["ann"], dict_min_occurrences=1)
+    full = CaptionerConfig(
+        d_model=32, N_enc=3, N_dec=3, ff=64, num_heads=4,
+        num_exp_enc_list=(4,), num_exp_dec=4, vocab_size=len(ds.vocab),
+        max_seq_len=12, img_feature_dim=FEAT_DIM,
+        sos_idx=ds.vocab.sos_idx, eos_idx=ds.vocab.eos_idx,
+        pad_idx=ds.vocab.pad_idx, unk_idx=ds.vocab.unk_idx,
+    )
+    params = cap_mod.captioner_init(jax.random.PRNGKey(0), full)
+    ckpt = save_checkpoint(str(tmp_path), params, additional_info="full")
+    flags3 = [f if f != "1" else "3" for f in TINY_FLAGS]  # N_enc/N_dec -> 3
+    for pc in ("1", "2"):
+        rc = eval_cli.main(
+            ["--dataset", "coco", "--annotations", corpus["ann"],
+             "--features_path", corpus["features"], "--load_path", ckpt,
+             "--param_config", pc, "--split", "test", "--beam_sizes", "2",
+             "--batch_size", "2", "--max_seq_len", "12", *flags3]
+        )
+        assert rc == 0
+
+
 def test_train_scst_device_reward(corpus, tmp_path):
     """--device_reward runs the fused sample+CIDEr+gradient jit (device-side
     rewards, train/device_cider.py) through the train CLI end-to-end."""
