@@ -114,6 +114,64 @@ def decoder_flops_incremental_step(cfg: CaptionerConfig, t: int, s_enc: int) -> 
     return int(total)
 
 
+def xe_train_step_flops(
+    cfg: ModelConfig, seq_len: int, remat: bool = True
+) -> Dict[str, int]:
+    """Analytic per-IMAGE MACs of one XE training step (fwd+bwd+remat), same
+    MAC-counted-once convention as swin_flops (the reference's flops()
+    methods and thop). Backward of a matmul costs ~2x its forward (dgrad +
+    wgrad); `remat` adds one forward recompute of every Swin block — the
+    --remat flag wraps Swin blocks in jax.checkpoint, and the fused-train
+    custom VJPs self-recompute from saved (x, x2) either way, so the
+    backbone multiplier is 4x fwd with remat, 3x without; the caption head
+    is never rematerialized (3x). Reference hot loop: train.py:47-302."""
+    cap = cfg.captioner
+    s_enc = cfg.swin.stage_resolution(3)[0] ** 2
+    backbone_fwd = swin_flops(cfg.swin)
+    head_fwd = encoder_flops(cap, s_enc) + decoder_flops_full_prefix(
+        cap, seq_len, s_enc
+    )
+    backbone = (4 if remat else 3) * backbone_fwd
+    head = 3 * head_fwd
+    return {
+        "backbone_fwd": backbone_fwd,
+        "head_fwd": head_fwd,
+        "backbone_train": int(backbone),
+        "head_train": int(head),
+        "total": int(backbone + head),
+    }
+
+
+def scst_train_step_flops(
+    cfg: ModelConfig, scst_len: int, num_samples: int, remat: bool = True
+) -> Dict[str, int]:
+    """Analytic per-IMAGE MACs of one fused shared-forward SCST step
+    (train/train_step.py make_scst_fused_step): ONE train-mode encoder
+    forward shared between sampling and re-score, num_samples incremental
+    sampling decodes (no grad), a decoder-only re-score fwd+bwd (3x) over
+    the num_samples sampled rows, and the encoder cotangent pulled back
+    through the saved vjp (2x fwd, +1x recompute under remat)."""
+    cap = cfg.captioner
+    s_enc = cfg.swin.stage_resolution(3)[0] ** 2
+    enc_fwd = swin_flops(cfg.swin) + encoder_flops(cap, s_enc)
+    sample = num_samples * (
+        sum(
+            decoder_flops_incremental_step(cap, t + 1, s_enc)
+            for t in range(scst_len)
+        )
+        + cap.N_dec * 2 * s_enc * cap.d_model * cap.d_model  # K/V once
+    )
+    rescore = 3 * num_samples * decoder_flops_full_prefix(cap, scst_len, s_enc)
+    enc_bwd = (3 if remat else 2) * enc_fwd
+    return {
+        "encoder_fwd": int(enc_fwd),
+        "sampling": int(sample),
+        "rescore_train": int(rescore),
+        "encoder_bwd": int(enc_bwd),
+        "total": int(enc_fwd + sample + rescore + enc_bwd),
+    }
+
+
 def beam_search_flops(
     cfg: ModelConfig, beam: int, steps: int, incremental: bool = True
 ) -> Dict[str, int]:

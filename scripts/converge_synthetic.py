@@ -67,6 +67,195 @@ TEMPLATES = (
 )
 
 
+# ---- HARD corpus (VERDICT r4 item 2): stresses decode with genuine
+# near-ties. Two objects per scene, size + shade attributes, NEAR-SYNONYM
+# distractor colors (visually near-identical RGB — the model cannot fully
+# resolve "red" vs "crimson" vs "scarlet", so the output distribution has
+# real near-ties at the color tokens), a spatial relation between the
+# objects, and 38-74-token references trained at max_seq_len 74 (the
+# reference's own operating regime, models/captioning_model.py:220-427).
+HARD_COLORS = {
+    # three near-identical reds / blues / greens + two singletons
+    "red": (215, 45, 45), "crimson": (205, 35, 60), "scarlet": (229, 57, 38),
+    "blue": (50, 85, 215), "cobalt": (42, 75, 198), "azure": (68, 108, 228),
+    "green": (45, 175, 70), "emerald": (38, 166, 91),
+    "yellow": (230, 215, 55), "purple": (150, 60, 200),
+}
+HARD_SHADES = {"dark": 0.55, "pale": 1.45, "bright": 1.0}
+HARD_SIZES = {"tiny": (0.045, 0.065), "small": (0.08, 0.10),
+              "big": (0.13, 0.16), "huge": (0.19, 0.23)}
+HARD_SHAPES = ("circle", "square", "triangle", "cross", "diamond")
+HARD_RELS = {  # obj2's offset direction from obj1 (unit coords)
+    "above": (0.0, -0.42), "below": (0.0, 0.42),
+    "left": (-0.42, 0.0), "right": (0.42, 0.0),
+}
+HARD_TEMPLATES = (
+    # each formats to ~38-74 tokens; {rel_phrase} like "directly above"
+    "the {bg} image shows a {sz1} {sh1} {c1} {s1} near the {pos} of the "
+    "frame with a {sz2} {sh2} {c2} {s2} sitting {rel_phrase} it while the "
+    "rest of the scene stays plain {bg} and both figures remain clearly "
+    "separated from one another with no other object visible anywhere",
+    "on a simple {bg} background there is a {sz1} {sh1} {c1} {s1} placed "
+    "toward the {pos} area and {rel_phrase} that first figure a {sz2} "
+    "{sh2} {c2} {s2} can be seen so the picture contains exactly two "
+    "shapes of different character standing apart on the same flat field",
+    "a {sz1} {sh1} {c1} {s1} occupies the {pos} part of this {bg} picture "
+    "and a {sz2} {sh2} {c2} {s2} appears {rel_phrase} it with the first "
+    "shape looking {sh1} {c1} against the {bg} field while the second one "
+    "is {sz2} and {sh2} {c2} and nothing else interrupts the scene",
+    "two figures stand on a {bg} field in this image with the first being "
+    "a {sz1} {sh1} {c1} {s1} near the {pos} and the second being a {sz2} "
+    "{sh2} {c2} {s2} located {rel_phrase} the first one while the "
+    "background keeps a single flat {bg} tone from edge to edge",
+    "here a {sz2} {sh2} {c2} {s2} rests {rel_phrase} a {sz1} {sh1} {c1} "
+    "{s1} that sits near the {pos} of a {bg} scene and apart from these "
+    "two simple shapes the whole frame is an empty {bg} surface without "
+    "texture or any further marking to describe",
+)
+HARD_REL_PHRASES = {
+    "above": "directly above", "below": "directly below",
+    "left": "to the left of", "right": "to the right of",
+}
+
+
+def _apply_shade(col, shade):
+    import numpy as np
+
+    f = HARD_SHADES[shade]
+    if shade == "pale":
+        return tuple(int(np.clip(v + (255 - v) * 0.45, 0, 255)) for v in col)
+    return tuple(int(np.clip(v * f, 0, 255)) for v in col)
+
+
+def _draw_shape(d, shape, cx, cy, r, col):
+    if shape == "circle":
+        d.ellipse([cx - r, cy - r, cx + r, cy + r], fill=col)
+    elif shape == "square":
+        d.rectangle([cx - r, cy - r, cx + r, cy + r], fill=col)
+    elif shape == "triangle":
+        d.polygon(
+            [(cx, cy - r), (cx - r, cy + r * 0.8), (cx + r, cy + r * 0.8)],
+            fill=col,
+        )
+    elif shape == "cross":
+        w = r * 0.38
+        d.rectangle([cx - r, cy - w, cx + r, cy + w], fill=col)
+        d.rectangle([cx - w, cy - r, cx + w, cy + r], fill=col)
+    elif shape == "diamond":
+        d.polygon([(cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)],
+                  fill=col)
+
+
+def render_hard(rng, size):
+    """One two-object scene; returns (uint8 image, caption list)."""
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    colors = list(HARD_COLORS)
+    shades, sizes = list(HARD_SHADES), list(HARD_SIZES)
+    bg = list(BGS)[rng.integers(len(BGS))]
+    rel = list(HARD_RELS)[rng.integers(len(HARD_RELS))]
+    c1, c2 = (colors[i] for i in rng.choice(len(colors), 2, replace=False))
+    s1, s2 = (HARD_SHAPES[i]
+              for i in rng.choice(len(HARD_SHAPES), 2, replace=False))
+    sh1, sh2 = (shades[rng.integers(3)] for _ in range(2))
+    sz1, sz2 = (sizes[rng.integers(4)] for _ in range(2))
+    pos = list(POSITIONS)[rng.integers(len(POSITIONS))]
+
+    def jit_color(c, amt=10):
+        return tuple(
+            int(np.clip(v + rng.integers(-amt, amt + 1), 0, 255)) for v in c
+        )
+
+    img = Image.new("RGB", (size, size), jit_color(BGS[bg]))
+    d = ImageDraw.Draw(img)
+    ax, ay = POSITIONS[pos]
+    dx, dy = HARD_RELS[rel]
+    # keep both anchors inside the frame
+    ax = float(np.clip(ax, 0.18 + max(0, -dx), 0.82 - max(0, dx)))
+    ay = float(np.clip(ay, 0.18 + max(0, -dy), 0.82 - max(0, dy)))
+    jit = size * 0.03
+    for (cx, cy), col_name, shade, shape, sz in (
+        ((ax, ay), c1, sh1, s1, sz1),
+        ((ax + dx, ay + dy), c2, sh2, s2, sz2),
+    ):
+        lo, hi = HARD_SIZES[sz]
+        r = size * rng.uniform(lo, hi)
+        col = jit_color(_apply_shade(HARD_COLORS[col_name], shade))
+        _draw_shape(
+            d, shape,
+            cx * size + rng.uniform(-jit, jit),
+            cy * size + rng.uniform(-jit, jit), r, col,
+        )
+    arr = np.asarray(img, np.float32) + rng.normal(0, 5, (size, size, 3))
+    caps = [
+        t.format(bg=bg, pos=pos, rel_phrase=HARD_REL_PHRASES[rel],
+                 sz1=sz1, sh1=sh1, c1=c1, s1=s1,
+                 sz2=sz2, sh2=sh2, c2=c2, s2=s2)
+        for t in HARD_TEMPLATES
+    ]
+    return np.clip(arr, 0, 255).astype(np.uint8), caps
+
+
+def make_data_hard(data_dir, n_train, n_val, n_test, size, vocab_words):
+    """HARD-corpus variant of make_data (same annotation/vocab layout)."""
+    import numpy as np
+    from PIL import Image
+
+    img_dir = os.path.join(data_dir, "MS_COCO_2014", "coco", "img")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(20260820)
+    items = []
+    t0 = time.time()
+    total = n_train + n_val + n_test
+    max_toks = 0
+    for i in range(total):
+        split = (
+            "train" if i < n_train
+            else "val" if i < n_train + n_val
+            else "test"
+        )
+        fname = f"hard_{i:06d}.jpg"
+        path = os.path.join(img_dir, fname)
+        arr, caps = render_hard(rng, size)
+        max_toks = max(max_toks, *(len(c.split()) for c in caps))
+        if not os.path.exists(path):
+            Image.fromarray(arr).save(path, quality=88)
+        items.append({
+            "cocoid": i, "filepath": "coco", "filename": fname,
+            "split": split, "sentences": [{"raw": c} for c in caps],
+        })
+    with open(os.path.join(data_dir, "dataset_coco.json"), "w") as f:
+        json.dump({"images": items}, f)
+
+    words = set()
+    for t in HARD_TEMPLATES:
+        words.update(
+            t.format(bg="x", pos="x", rel_phrase="x", sz1="x", sh1="x",
+                     c1="x", s1="x", sz2="x", sh2="x", c2="x", s2="x").split()
+        )
+    words.discard("x")
+    words.update(HARD_COLORS); words.update(HARD_SHAPES)
+    words.update(HARD_SHADES); words.update(HARD_SIZES); words.update(BGS)
+    for p in list(POSITIONS) + list(HARD_REL_PHRASES.values()):
+        words.update(p.split())
+    words.update({"PAD", "SOS", "EOS", "UNK"})
+    k = 0
+    while len(words) < vocab_words:
+        words.add(f"fill{k:05d}")
+        k += 1
+    idx2word = sorted(words)
+    vocab_path = os.path.join(data_dir, "synthetic_vocab.json")
+    with open(vocab_path, "w") as f:
+        json.dump({w: i for i, w in enumerate(idx2word)}, f)
+    print(
+        f"hard data: {total} two-object JPEGs + annotations + "
+        f"{len(idx2word)}-word vocab in {time.time() - t0:.1f}s "
+        f"(longest ref {max_toks} tokens)", flush=True,
+    )
+    return vocab_path
+
+
 def render(rng, size, color, shape, pos, bg):
     """One sample image: solid background + one shape, with per-image jitter
     (position, scale, per-channel color, pixel noise) so every image is
@@ -263,14 +452,25 @@ def main():
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke of the driver logic (tiny model/data)")
+    ap.add_argument("--hard", action="store_true",
+                    help="HARD two-object corpus (near-synonym colors, "
+                         "size/shade attributes, spatial relations, 38-74 "
+                         "token refs) trained at max_seq_len 74 — the drift "
+                         "stress of VERDICT r4 item 2")
     ap.add_argument("--from_phase", type=int, default=0,
                     help="0=data 1=floor 2=XE 3=SCST 4=evals — skip phases "
                          "below N, reusing artifacts on disk")
     a = ap.parse_args()
 
-    global FORCE_CPU
+    global FORCE_CPU, MAX_SEQ_LEN
     vocab_words, img_size = VOCAB_WORDS, 384
     swin, cap = SWIN_S, CAP_FULL
+    if a.hard:
+        MAX_SEQ_LEN = "74"
+        if a.data == "/tmp/converge_data":
+            a.data = "/tmp/converge_hard_data"
+        if a.saves == "/tmp/converge_saves":
+            a.saves = "/tmp/converge_hard_saves"
     if a.tiny:
         FORCE_CPU = True
         vocab_words, img_size = 120, 64
@@ -286,7 +486,8 @@ def main():
     vocab_path = os.path.join(a.data, "synthetic_vocab.json")
     store = os.path.join(a.data, "preproc_images.hdf5")
     if a.from_phase <= 0:
-        vocab_path = make_data(
+        gen = make_data_hard if a.hard else make_data
+        vocab_path = gen(
             a.data, a.train, a.val, a.test, img_size, vocab_words
         )
         # preprocess train+val images once (decode+resize into HDF5) so the

@@ -133,6 +133,21 @@ def test_analysis_counts():
     assert 0.5e11 < ref_strategy["total"] < 3e11
 
 
+def test_train_step_flops():
+    """Train-step MACs: backbone dominates, remat adds exactly one backbone
+    forward, and the flagship XE step lands at the hand-checked envelope
+    (~427 GMACs/image at seq 28: 4x the 103.9 G backbone fwd + 3x the head)."""
+    full = ModelConfig()
+    xe = analysis.xe_train_step_flops(full, seq_len=28, remat=True)
+    xe_nr = analysis.xe_train_step_flops(full, seq_len=28, remat=False)
+    assert xe["total"] - xe_nr["total"] == xe["backbone_fwd"]
+    assert xe["backbone_train"] == 4 * xe["backbone_fwd"]
+    assert 4.0e11 < xe["total"] < 4.6e11
+    scst = analysis.scst_train_step_flops(full, scst_len=20, num_samples=5)
+    assert scst["total"] > scst["encoder_fwd"] * 3  # fwd + 2x bwd at least
+    assert 2.5e11 < scst["total"] < 4.5e11
+
+
 def test_aot_engine_and_artifact(tmp_path):
     from on_device_image_captioning_tpu.deploy import aot
 
@@ -149,6 +164,45 @@ def test_aot_engine_and_artifact(tmp_path):
     call, loaded_params = aot.load_artifact(art)
     toks2, lengths2 = call(loaded_params, imgs)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+    # fp32 engine: "auto" param dtype == compute dtype == stored -> exact
+    assert aot.load_manifest(art)["param_dtype"] == "float32"
+
+
+def test_aot_artifact_ships_serving_dtype(tmp_path):
+    """VERDICT r4 item 6: a bf16 engine ships bf16 params (half the fp32
+    store), the manifest records the dtype, and load/execute round-trips the
+    shipped tree bit-exactly."""
+    import dataclasses
+    import os
+
+    from on_device_image_captioning_tpu.deploy import aot
+
+    cfg16 = dataclasses.replace(TINY_E2E, compute_dtype=jnp.bfloat16)
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg16)
+    dcfg = DecodeConfig(beam_size=2, how_many_outputs=1, max_seq_len=8,
+                        sos_idx=2, eos_idx=3)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+
+    art16 = str(tmp_path / "bf16")
+    art32 = str(tmp_path / "stored")
+    aot.export_artifact(art16, params, cfg16, dcfg, batch_size=2)  # auto=bf16
+    aot.export_artifact(art32, params, cfg16, dcfg, batch_size=2,
+                        param_dtype="stored")
+    assert aot.load_manifest(art16)["param_dtype"] == "bfloat16"
+    assert aot.load_manifest(art32)["param_dtype"] == "stored"
+    sz16 = os.path.getsize(os.path.join(art16, "params.msgpack"))
+    sz32 = os.path.getsize(os.path.join(art32, "params.msgpack"))
+    assert sz16 < 0.6 * sz32, (sz16, sz32)
+
+    # round trip: loaded params are the bf16 tree; the engine executes and
+    # matches a directly-built engine over the same bf16-cast tree
+    call, loaded = aot.load_artifact(art16)
+    leaves = jax.tree.leaves(loaded)
+    assert any(np.asarray(l).dtype == jnp.bfloat16 for l in leaves)
+    toks, lengths = call(loaded, imgs)
+    compiled, _ = aot.build_caption_engine(loaded, cfg16, dcfg, batch_size=2)
+    toks_direct, _ = compiled(loaded, imgs)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_direct))
 
 
 def test_swin_flops_matches_reference(reference_path):
