@@ -158,9 +158,77 @@ def build_cases(quick: bool):
     return cases
 
 
+def build_fuzz_cases(n, seed):
+    """Randomized shape sweep (VERDICT r4 item 7): batch values that are odd
+    or not divisible by 8, beams 1..5, short/eval/full decode budgets, and
+    the w8 variant — fresh-compiled against the throwaway cache. The b112
+    probe proved 'accidental legality' bugs exist (ops/topk.py picked a
+    28-row block that violated Mosaic's %8 sublane rule; b32/b80/b96 all
+    happened to be legal), so legality must be swept, not sampled by luck."""
+    from on_device_image_captioning_tpu.config import (
+        DecodeConfig, end_expansionnet_v2_coco,
+    )
+    from on_device_image_captioning_tpu.decode import beam_search as bs
+    from on_device_image_captioning_tpu.decode.cache import set_dyn_step_impl
+    from on_device_image_captioning_tpu.models import end_to_end
+    from on_device_image_captioning_tpu.utils.image import normalize_on_device
+
+    set_dyn_step_impl("pallas")
+    cfg = end_expansionnet_v2_coco(compute_dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(
+        cfg, swin=dataclasses.replace(cfg.swin, attention_impl="fused")
+    )
+    params = end_to_end.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(seed)
+    batches = [1, 3, 5, 6, 7, 9, 10, 12, 14, 17, 20, 22, 25, 26, 28, 33,
+               36, 44, 52, 56, 60, 68, 76, 84, 88, 100, 104, 108, 112, 120]
+    lens = [11, 20, 33, 74]
+
+    cases = []
+    seen = set()
+    while len(cases) < n:
+        b = int(rng.choice(batches))
+        beam = int(rng.integers(1, 6))
+        L = int(rng.choice(lens))
+        quant = "w8" if rng.random() < 0.25 else "none"
+        key = (b, beam, L, quant)
+        if key in seen:
+            continue
+        seen.add(key)
+        p = params
+        if quant != "none":
+            from on_device_image_captioning_tpu.deploy.quantization import (
+                quantize_tree,
+            )
+
+            p = quantize_tree(params, mode=quant)
+        dcfg = DecodeConfig(beam_size=beam, how_many_outputs=1, max_seq_len=L)
+        images = jnp.asarray(rng.integers(0, 256, (b, 384, 384, 3), np.uint8))
+
+        @jax.jit
+        def fn(p, x, dcfg=dcfg):
+            enc = end_to_end.forward_enc(p, cfg, normalize_on_device(x))
+            res = bs.beam_search(
+                p["captioner"], cfg.captioner, enc, dcfg,
+                rng=jax.random.PRNGKey(1), dtype=cfg.compute_dtype,
+            )
+            return res.tokens
+
+        tag = f"fuzz_b{b}_beam{beam}_L{L}" + ("" if quant == "none" else "_w8")
+        cases.append((tag, lambda fn=fn, p=p, images=images:
+                      fn.lower(p, images).compile()))
+    return cases
+
+
 def main():
     quick = "--quick" in sys.argv
-    cases = build_cases(quick)
+    if "--fuzz" in sys.argv:
+        i = sys.argv.index("--fuzz")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8
+        seed = int(os.environ.get("AUDIT_FUZZ_SEED", "0"))
+        cases = build_fuzz_cases(n, seed)
+    else:
+        cases = build_cases(quick)
     failed = []
     for name, thunk in cases:
         t0 = time.perf_counter()

@@ -665,7 +665,15 @@ def main():
         print(f"  {k:22s} {v:8.1f}")
     out = {"results": results, "drift": drift, "report": report,
            "config": {"train": a.train, "val": a.val, "test": a.test,
-                      "xe_epochs": a.xe_epochs, "scst_epochs": a.scst_epochs}}
+                      "xe_epochs": a.xe_epochs, "scst_epochs": a.scst_epochs,
+                      "hard": a.hard, "max_seq_len": int(MAX_SEQ_LEN)},
+           "notes": {
+               "eval_wall_times": "eval_*_s are END-TO-END subprocess walls "
+               "INCLUDING XLA compile; the w8/w8a8 variants compile fresh "
+               "graphs (quantized kernels) while bf16_fused reuses the "
+               "persistent cache — wall-time ratios across variants are "
+               "compile-dominated, NOT serving-throughput ratios (see "
+               "BENCH w8 rows for the controlled comparison)."}}
     path = os.path.join(a.saves, "convergence_report.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -701,6 +701,57 @@ def test_topk_pallas_direct_call_no_legal_block():
     np.testing.assert_allclose(np.asarray(v), np.asarray(vr))
 
 
+def test_shape_robustness_block_pickers():
+    """VERDICT r4 item 7 (fast half): sweep the Mosaic-constrained block
+    pickers over batch/shape values nobody benchmarks — every pick must be
+    a divisor of its grid axis, fit its element target, and give blocks
+    whose second-minor dimension satisfies Mosaic's %8 sublane rule (or
+    equal the full axis). The chip half is scripts/compile_audit.py --fuzz,
+    which fresh-compiles random (batch, beam, L, impl) production graphs."""
+    import numpy as np
+
+    from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+    from on_device_image_captioning_tpu.ops import topk as tk
+
+    # topk: every rows value up to 136 and a few wide-V values
+    for rows in range(1, 137):
+        for V in (2048, 10_000, 50_000):
+            rpb = tk._rows_per_block(rows, V)
+            assert rpb == 0 or (
+                rows % rpb == 0
+                and rpb * V <= tk._TARGET_ELEMS
+                and (rpb % 8 == 0 or rpb == rows)
+            ), (rows, V, rpb)
+            if rpb == 0:  # the wrapper must still produce correct output
+                x = jnp.asarray(
+                    np.random.default_rng(rows).standard_normal(
+                        (rows, 256), dtype=np.float32
+                    )
+                )
+                v, i = tk.topk_pallas(x, 3)
+                vr, ir = jax.lax.top_k(x, 3)
+                np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+
+    # Swin strip pickers: Swin-L/384 and Swin-S geometries x batch sweep.
+    # n (tokens/window) is 144 for window 12 — every strip of whole windows
+    # has rows % 8 == 0 automatically; the invariants that CAN break are
+    # divisibility and the element target, including the total_windows
+    # cliff behavior.
+    for n, c in ((144, 192), (144, 256), (144, 384), (144, 768), (144, 96)):
+        for num_windows in (1, 4, 16, 64, 1024 // 16):
+            for batch in (1, 3, 7, 9, 22, 25, 33, 56, 112):
+                tw = batch * num_windows
+                for pick, tag in (
+                    (sbf.windows_per_program(num_windows, n, c, tw), "inf"),
+                    (sbf.windows_per_program(num_windows, n, c, tw, True), "w8"),
+                    (sbf.train_fwd_wpb(num_windows, n, c, tw), "train"),
+                    (sbf._bwd_wpb(num_windows, n, c, tw), "bwd"),
+                ):
+                    assert num_windows % pick == 0, (tag, num_windows, pick)
+                    assert (pick * n) % 8 == 0 or pick == num_windows
+                    assert pick * n * c <= sbf._TARGET_ELEMS
+
+
 def test_stage_mode_override_validation():
     """ADVICE r4: typo'd override modes and VMEM-ineligible forced modes must
     fail loudly instead of silently falling through / overflowing scoped
