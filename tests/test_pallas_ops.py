@@ -44,11 +44,13 @@ def test_fused_block_matches_xla_full_backbone():
     )
 
 
-@pytest.mark.parametrize("impl", ["packed", "grouped"])
+@pytest.mark.parametrize("impl", ["packed", "grouped", "pipelined"])
 def test_fused_block_attention_impls_match_perhead(impl):
     """The alternative inference attention inner loops — packed (all heads in
-    two masked MXU dots + one stacked softmax) and grouped (heads in groups
-    of 4, per-head padded FLOPs, quarter the dispatches) — must match the
+    two masked MXU dots + one stacked softmax), grouped (heads in groups
+    of 4, per-head padded FLOPs, quarter the dispatches), and pipelined
+    (two-deep software pipeline: iteration i+1's score dot emitted before
+    iteration i's softmax/value phase — VERDICT r4 item 8) — must match the
     XLA path, whole-block and halves. TINY's head counts (2, 4) exercise the
     grouped remainder path (g < gs) and the exact-group path."""
     from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
