@@ -365,10 +365,21 @@ def make_data(data_dir, n_train, n_val, n_test, size, vocab_words):
 FORCE_CPU = False
 
 
+_LAST_TPU_PHASE_END = [0.0]
+
+
 def run(tag, args_list, env=None):
     """Run `python -m <module> <argv>` as a phase subprocess; tee tail to
     stdout, full log to /tmp. Same CPU-pinning shim as rehearse_recipe.py
-    (the axon TPU plugin ignores JAX_PLATFORMS=cpu from the environment)."""
+    (the axon TPU plugin ignores JAX_PLATFORMS=cpu from the environment).
+
+    TPU phases leave a >= 30 s gap after the previous client exits:
+    back-to-back client starts against the tunnel hit 'TPU backend error
+    (Internal)' and a crashed client can wedge the tunnel for ~15-25 min."""
+    if not FORCE_CPU:
+        gap = time.time() - _LAST_TPU_PHASE_END[0]
+        if gap < 30:
+            time.sleep(30 - gap)
     t0 = time.time()
     e = dict(os.environ)
     if env:
@@ -389,6 +400,8 @@ def run(tag, args_list, env=None):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     dt = time.time() - t0
+    if not FORCE_CPU:
+        _LAST_TPU_PHASE_END[0] = time.time()
     log = os.path.join("/tmp", f"converge_{tag.split()[0]}.log")
     with open(log, "w") as f:
         f.write(proc.stdout)
