@@ -7,6 +7,7 @@ point. Prints median ms per forward for each attention_impl.
     python scripts/bench_backbone.py [batch] [impl1,impl2,...]
 """
 import dataclasses
+import os
 import sys
 import time
 
@@ -23,6 +24,12 @@ from on_device_image_captioning_tpu.models import swin
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     impls = (sys.argv[2] if len(sys.argv) > 2 else "xla,fused").split(",")
+    rows_impl = os.environ.get("BENCH_ATTN_ROWS")
+    if rows_impl:
+        from on_device_image_captioning_tpu.ops import swin_block_fused as sbf
+
+        sbf.set_infer_attn_rows_impl(rows_impl)
+        print(f"attn rows impl: {rows_impl}")
     cfg0 = swin_large_384()
     params = swin.swin_init(jax.random.PRNGKey(0), cfg0)
     imgs = jnp.asarray(
