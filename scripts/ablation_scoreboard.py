@@ -95,6 +95,9 @@ def main():
     ap.add_argument("--skip_finetune", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke over the converge --tiny artifacts")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse /tmp/converge_ablate_eval_<row>.log rows that "
+                         "already parse to all 8 scores (crash recovery)")
     a = ap.parse_args()
 
     cs.FORCE_CPU = a.tiny
@@ -188,6 +191,15 @@ def main():
 
     results, report = {}, dict(ft_rows)
     for name, extra in variants.items():
+        log = os.path.join("/tmp", f"converge_ablate_eval_{name}.log")
+        if a.resume and os.path.exists(log):
+            sc = cs.parse_scores(log)
+            if len(sc) == 8:
+                print(f"--- ablate_eval_{name}: RESUMED from {log} ---",
+                      flush=True)
+                results[name] = sc
+                report[f"eval_{name}_s"] = "resumed"
+                continue
         log, dt = cs.run(f"ablate_eval_{name}", eval_common + extra)
         results[name] = cs.parse_scores(log)
         report[f"eval_{name}_s"] = round(dt, 1)
