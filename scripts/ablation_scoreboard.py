@@ -98,7 +98,20 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="reuse /tmp/converge_ablate_eval_<row>.log rows that "
                          "already parse to all 8 scores (crash recovery)")
+    ap.add_argument("--max_seq_len", default=None,
+                    help="decode budget; defaults to the value recorded in "
+                         "<saves>/convergence_report.json (so hard-corpus "
+                         "L74 checkpoints evaluate at their training budget)")
     a = ap.parse_args()
+
+    if a.max_seq_len is None:
+        rep_path = os.path.join(a.saves, "convergence_report.json")
+        if os.path.exists(rep_path):
+            with open(rep_path) as f:
+                a.max_seq_len = str(json.load(f)["config"]["max_seq_len"])
+        else:
+            a.max_seq_len = cs.MAX_SEQ_LEN
+    cs.MAX_SEQ_LEN = str(a.max_seq_len)
 
     cs.FORCE_CPU = a.tiny
     swin, cap = (cs.TINY_SWIN, cs.TINY_CAP) if a.tiny else (cs.SWIN_S, cs.CAP_FULL)
