@@ -205,9 +205,32 @@ def _dyn_exp_step(
     e = cfg.num_exp_dec
     L = cache.keys.shape[1]
 
+    use_pallas = _DYN_STEP_IMPL != "xla"
+    if use_pallas:
+        from ..ops.dyn_exp_step import step_eligible
+
+        # long budgets with wide cache dtypes overflow the kernel's scoped
+        # VMEM (fp32 caches at L>=57: SCST sampling at max_seq_len 74) —
+        # fall back to the XLA incremental step for this cache shape
+        use_pallas = step_eligible(
+            L, e, d, jnp.dtype(cache.keys.dtype).itemsize, dst=dst is not None
+        )
+        if not use_pallas and reorder is not None:
+            # the Pallas kernel fuses the beam reshuffle into its cache
+            # reads; the XLA path expects pre-gathered caches (dec_step only
+            # pre-gathers when the IMPL is 'xla', not on a per-shape
+            # fallback) — gather here, exact per-row copy
+            take = lambda a: jnp.take(a, reorder, axis=0)
+            cache = cache._replace(
+                keys=take(cache.keys), ca=take(cache.ca), cb=take(cache.cb),
+                cond=take(cache.cond), vals_a=take(cache.vals_a),
+                vals_b=take(cache.vals_b),
+            )
+            reorder = None
+
     _PROJ = ("cond_embed", "key_linear", "class_a_embed", "class_b_embed",
              "selector_embed")
-    packed = _DYN_STEP_IMPL != "xla" and all(
+    packed = use_pallas and all(
         "w" in p[k] for k in _PROJ
     )
     if packed:
@@ -228,7 +251,7 @@ def _dyn_exp_step(
     q_i = p["query_exp"]["embed"][None] + cond[:, None]  # (B, E, d)
     bias_i = p["bias_exp"]["embed"][None] + cond[:, None]
 
-    if _DYN_STEP_IMPL != "xla":
+    if use_pallas:
         from ..ops.dyn_exp_step import dyn_exp_step_pallas
 
         sel = jax.nn.sigmoid(
@@ -302,6 +325,26 @@ def _dyn_exp_step(
         keys=keys, ca=ca, cb=cb, cond=cond_c, vals_a=vals_a, vals_b=vals_b
     )
     return out, new_cache
+
+
+def _fused_step_eligible(cfg, cache: LayerCache) -> bool:
+    """Scoped-VMEM gate for the opt-in fused dyn+cross kernel: the plain
+    step's footprint plus the cross tail's extras (row-indexed K/V cross
+    caches double-buffered; the (d, d) Wq/out_linear weights const-indexed,
+    single-buffered)."""
+    from ..ops.dyn_exp_step import (
+        VMEM_SCOPED_LIMIT_BYTES, _VMEM_SAFETY_BYTES, step_scoped_vmem_bytes,
+    )
+
+    L = cache.keys.shape[1]
+    d = cache.keys.shape[-1]
+    isz = jnp.dtype(cache.keys.dtype).itemsize
+    extra = 2 * 2 * cache.k_cross.shape[1] * d * jnp.dtype(
+        cache.k_cross.dtype
+    ).itemsize  # kc/vc row blocks, double-buffered
+    extra += 2 * d * d * 4  # Wq/out_linear, const index maps (upper-bounds bf16)
+    total = step_scoped_vmem_bytes(L, cfg.num_exp_dec, d, isz) + extra
+    return total <= VMEM_SCOPED_LIMIT_BYTES - _VMEM_SAFETY_BYTES
 
 
 def _dyn_cross_fused_step(
@@ -464,10 +507,13 @@ def dec_step(
     for i in range(cfg.N_dec):
         lp = params["decoders"][i]
         cache = state.layers[i]
-        if _DYN_STEP_IMPL == "pallas_fused" and "w" in lp["mha"]["Wq"]:
+        if _DYN_STEP_IMPL == "pallas_fused" and "w" in lp["mha"]["Wq"] and (
+            _fused_step_eligible(cfg, cache)
+        ):
             # opt-in: dyn + LN2 + cross-attention in ONE kernel (measured
             # slower than the default at production shapes — see
-            # set_dyn_step_impl; quantized Wq/out_linear nodes fall back)
+            # set_dyn_step_impl; quantized Wq/out_linear nodes fall back,
+            # as do cache shapes whose footprint overflows scoped VMEM)
             y, cache = _dyn_cross_fused_step(
                 lp, cfg, cache, y, pos, dtype, reorder,
                 dst=None if prev is None else prev[i], in_place=in_place,

@@ -185,6 +185,44 @@ def _kernel_dst(
     )
 
 
+# Mosaic's scoped-VMEM limit for a kernel's pipeline buffers. The step
+# kernel's per-program footprint grows linearly in the cache length L, so a
+# long-enough decode budget with fp32 caches overflows it: SCST sampling at
+# max_seq_len 74 (f32 caches, L=57 chunk, E=16, d=512) was reported as
+# "Scoped allocation with size 16.25M and limit 16.00M" — the model below
+# reproduces that 16.25M within 0.2%, and the known-working beam configs
+# (bf16 caches, dst ping-pong, L<=75) land at ~14M. Callers must check
+# step_eligible() and use the XLA incremental step otherwise
+# (decode/cache._dyn_exp_step does).
+VMEM_SCOPED_LIMIT_BYTES = 16 * 1024 * 1024
+_VMEM_SAFETY_BYTES = 256 * 1024
+
+
+def step_scoped_vmem_bytes(L, E, d, cache_itemsize, dst=False):
+    """Estimated scoped-VMEM bytes of one dyn_exp_step_pallas program.
+
+    Cache input and output block sets are double-buffered by the pipeline;
+    the dst-mode donated inputs ride constant index maps (fetched once, so
+    counted single-buffered — consistent with the beam ping-pong configs
+    that compile today); the small per-row blocks are double-buffered but
+    negligible."""
+    cache_set = 4 * L * d + 2 * L * E * d  # keys/ca/cb/cond + vals_a/vals_b
+    small = (3 * E * d + 6 * d) * cache_itemsize + 2 * 4 * d  # q/bias/embed + x-projs; sel+out f32
+    total = 2 * (2 * cache_set * cache_itemsize + small)
+    if dst:
+        total += cache_set * cache_itemsize
+    return total
+
+
+def step_eligible(L, E, d, cache_itemsize, dst=False):
+    """True when the step kernel's scoped-VMEM footprint fits the 16 MiB
+    limit (with a safety margin); False means use the XLA incremental step."""
+    return (
+        step_scoped_vmem_bytes(L, E, d, cache_itemsize, dst=dst)
+        <= VMEM_SCOPED_LIMIT_BYTES - _VMEM_SAFETY_BYTES
+    )
+
+
 def dyn_exp_step_pallas(
     pos,  # scalar int32
     q_i,  # (B, E, d) query_exp + cond at pos

@@ -426,3 +426,75 @@ def test_double_buffer_parity(tiny_params, chunks):
     caps_db, _ = bs.captions_from_result(r_db)
     caps_nb, _ = bs.captions_from_result(r_nb)
     assert caps_db == caps_nb
+
+
+def test_step_vmem_eligibility_constants():
+    """The scoped-VMEM footprint model must flag the shape that crashed the
+    round-5 SCST run (fp32 caches, 57-slot chunk of a max_seq_len-74
+    sampling decode: Mosaic reported 16.25M vs the 16.00M limit) while
+    keeping every round-4 production config eligible."""
+    from on_device_image_captioning_tpu.ops.dyn_exp_step import (
+        step_eligible, step_scoped_vmem_bytes,
+    )
+
+    assert not step_eligible(57, 16, 512, 4)
+    # the model reproduces the compiler's report within ~1%
+    assert abs(step_scoped_vmem_bytes(57, 16, 512, 4) - 16.25 * 2**20) < (
+        0.2 * 2**20
+    )
+    assert step_eligible(41, 16, 512, 4)  # f32 sampling, 40-token chunk
+    assert step_eligible(21, 16, 512, 4)  # round-4 SCST at max_seq_len 20
+    assert step_eligible(75, 16, 512, 2, dst=True)  # bf16 beam eval at L74
+    assert not step_eligible(75, 16, 512, 4)  # f32 full-L74 sampling chunk
+
+
+def test_dyn_step_vmem_fallback_matches_pallas(tiny_params, monkeypatch):
+    """When step_eligible rejects a cache shape, _dyn_exp_step must route to
+    the XLA incremental step (pre-gathering the fused beam reorder itself)
+    and produce the same captions as the Pallas kernel."""
+    from on_device_image_captioning_tpu.ops import dyn_exp_step as ds
+
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((3, 7, TINY.img_feature_dim), dtype=np.float32)
+    cross = cap.forward_enc(tiny_params, TINY, feats)
+    dcfg = DecodeConfig(
+        beam_size=3, how_many_outputs=3, max_seq_len=17, sos_idx=2, eos_idx=3,
+        chunk_schedule=(6, 17),
+    )
+    dc.set_dyn_step_impl("pallas")
+    try:
+        r_pl = jax.jit(lambda p, c: bs.beam_search(p, TINY, c, dcfg))(
+            tiny_params, cross
+        )
+        monkeypatch.setattr(ds, "step_eligible", lambda *a, **k: False)
+        r_fb = jax.jit(lambda p, c: bs.beam_search(p, TINY, c, dcfg))(
+            tiny_params, cross
+        )
+    finally:
+        dc.set_dyn_step_impl("xla")
+    caps_pl, _ = bs.captions_from_result(r_pl)
+    caps_fb, _ = bs.captions_from_result(r_fb)
+    assert caps_pl == caps_fb
+
+    # sampling (in_place, no reorder) through the same fallback
+    key = jax.random.PRNGKey(3)
+    skw = dict(
+        num_outputs=2, max_seq_len=17, rng=key, sos_idx=2, eos_idx=3,
+        chunks=(6, 17),
+    )
+    monkeypatch.undo()  # restore the real step_eligible for the pallas run
+    dc.set_dyn_step_impl("pallas")
+    try:
+        r_s_pl = jax.jit(
+            lambda p, c: sampling.sample(p, TINY, c, **skw)
+        )(tiny_params, cross)
+        monkeypatch.setattr(ds, "step_eligible", lambda *a, **k: False)
+        r_s = jax.jit(
+            lambda p, c, _pad=None: sampling.sample(p, TINY, c, **skw)
+        )(tiny_params, cross)
+    finally:
+        dc.set_dyn_step_impl("xla")
+        monkeypatch.undo()
+    assert np.asarray(r_s.tokens).tolist() == np.asarray(
+        r_s_pl.tokens
+    ).tolist()
